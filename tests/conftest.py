@@ -1,0 +1,19 @@
+"""Test config: force CPU with 8 virtual devices so sharding tests run anywhere.
+
+The container's sitecustomize registers an `axon` TPU PJRT plugin and the env
+pins JAX_PLATFORMS=axon, so plain env overrides are not enough — we update the
+jax config directly (backends initialise lazily, so this takes effect as long
+as conftest runs before any jax computation, which pytest guarantees).
+"""
+import os
+import sys
+
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
