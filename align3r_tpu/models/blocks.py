@@ -1,0 +1,159 @@
+"""CroCo transformer primitives, functional (init_*/apply pairs).
+
+Behavioural reference: /root/reference/croco/models/blocks.py (Attention:81-112,
+CrossAttention:132-169, Block:115-129, DecoderBlock:171-191, Mlp:59-79,
+PatchEmbed:210-241). Dropout/drop-path are omitted: every released Align3R /
+DUSt3R config uses rate 0 (train.sh:8 model string) and the fine-tune recipe
+keeps them at 0.
+
+All blocks run in the activation dtype of their input (bf16 on the TPU hot
+path); LayerNorm statistics and attention softmax accumulate in fp32.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from align3r_tpu.models import nn
+from align3r_tpu.models.rope import apply_rope2d, make_grid_positions
+from align3r_tpu.ops.attention import attention
+
+
+# ----------------------------------------------------------------------- MLP
+
+def init_mlp(key, dim: int, hidden: int, out: int | None = None, dtype=jnp.float32):
+    k1, k2 = jax.random.split(key)
+    return {
+        "fc1": nn.dense_init(k1, dim, hidden, dtype=dtype),
+        "fc2": nn.dense_init(k2, hidden, out or dim, dtype=dtype),
+    }
+
+
+def apply_mlp(p, x):
+    return nn.dense(p["fc2"], nn.gelu(nn.dense(p["fc1"], x)))
+
+
+# ----------------------------------------------------------------- attention
+
+def init_attention(key, dim: int, qkv_bias: bool = True, dtype=jnp.float32):
+    k1, k2 = jax.random.split(key)
+    return {
+        "qkv": nn.dense_init(k1, dim, dim * 3, bias=qkv_bias, dtype=dtype),
+        "proj": nn.dense_init(k2, dim, dim, dtype=dtype),
+    }
+
+
+def _split_heads(x, num_heads):
+    B, N, C = x.shape
+    return x.reshape(B, N, num_heads, C // num_heads).transpose(0, 2, 1, 3)
+
+
+def _merge_heads(x):
+    B, H, N, D = x.shape
+    return x.transpose(0, 2, 1, 3).reshape(B, N, H * D)
+
+
+def apply_attention(p, x, pos, num_heads: int, rope_base: float | None = 100.0,
+                    attn_impl: str = "auto"):
+    """Self-attention with RoPE2D on q, k. x: (B, N, C); pos: (B, N, 2)."""
+    qkv = nn.dense(p["qkv"], x)
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+    q, k, v = (_split_heads(t, num_heads) for t in (q, k, v))
+    if rope_base is not None:
+        q = apply_rope2d(q, pos, rope_base)
+        k = apply_rope2d(k, pos, rope_base)
+    out = attention(q, k, v, impl=attn_impl)
+    return nn.dense(p["proj"], _merge_heads(out))
+
+
+def init_cross_attention(key, dim: int, qkv_bias: bool = True, dtype=jnp.float32):
+    kq, kk, kv, kp = jax.random.split(key, 4)
+    return {
+        "projq": nn.dense_init(kq, dim, dim, bias=qkv_bias, dtype=dtype),
+        "projk": nn.dense_init(kk, dim, dim, bias=qkv_bias, dtype=dtype),
+        "projv": nn.dense_init(kv, dim, dim, bias=qkv_bias, dtype=dtype),
+        "proj": nn.dense_init(kp, dim, dim, dtype=dtype),
+    }
+
+
+def apply_cross_attention(p, query, key, value, qpos, kpos, num_heads: int,
+                          rope_base: float | None = 100.0, attn_impl: str = "auto"):
+    q = _split_heads(nn.dense(p["projq"], query), num_heads)
+    k = _split_heads(nn.dense(p["projk"], key), num_heads)
+    v = _split_heads(nn.dense(p["projv"], value), num_heads)
+    if rope_base is not None:
+        q = apply_rope2d(q, qpos, rope_base)
+        k = apply_rope2d(k, kpos, rope_base)
+    out = attention(q, k, v, impl=attn_impl)
+    return nn.dense(p["proj"], _merge_heads(out))
+
+
+# -------------------------------------------------------------------- blocks
+
+def init_block(key, dim: int, num_heads: int, mlp_ratio: float = 4.0, dtype=jnp.float32):
+    ka, km = jax.random.split(key)
+    return {
+        "norm1": nn.layernorm_init(dim, dtype),
+        "attn": init_attention(ka, dim, dtype=dtype),
+        "norm2": nn.layernorm_init(dim, dtype),
+        "mlp": init_mlp(km, dim, int(dim * mlp_ratio), dtype=dtype),
+    }
+
+
+def apply_block(p, x, pos, num_heads: int, rope_base=100.0, attn_impl="auto"):
+    x = x + apply_attention(p["attn"], nn.layernorm(p["norm1"], x), pos,
+                            num_heads, rope_base, attn_impl)
+    x = x + apply_mlp(p["mlp"], nn.layernorm(p["norm2"], x))
+    return x
+
+
+def init_decoder_block(key, dim: int, num_heads: int, mlp_ratio: float = 4.0,
+                       norm_mem: bool = True, dtype=jnp.float32):
+    ka, kc, km = jax.random.split(key, 3)
+    p = {
+        "norm1": nn.layernorm_init(dim, dtype),
+        "attn": init_attention(ka, dim, dtype=dtype),
+        "cross_attn": init_cross_attention(kc, dim, dtype=dtype),
+        "norm2": nn.layernorm_init(dim, dtype),
+        "norm3": nn.layernorm_init(dim, dtype),
+        "mlp": init_mlp(km, dim, int(dim * mlp_ratio), dtype=dtype),
+    }
+    if norm_mem:
+        p["norm_y"] = nn.layernorm_init(dim, dtype)
+    return p
+
+
+def apply_decoder_block(p, x, y, xpos, ypos, num_heads: int, rope_base=100.0,
+                        attn_impl="auto"):
+    """Self-attn + cross-attn (y as memory) + MLP. Returns updated x (y unchanged)."""
+    x = x + apply_attention(p["attn"], nn.layernorm(p["norm1"], x), xpos,
+                            num_heads, rope_base, attn_impl)
+    y_ = nn.layernorm(p["norm_y"], y) if "norm_y" in p else y
+    x = x + apply_cross_attention(p["cross_attn"], nn.layernorm(p["norm2"], x),
+                                  y_, y_, xpos, ypos, num_heads, rope_base, attn_impl)
+    x = x + apply_mlp(p["mlp"], nn.layernorm(p["norm3"], x))
+    return x
+
+
+# --------------------------------------------------------------- patch embed
+
+def init_patch_embed(key, patch_size: int, in_chans: int, embed_dim: int, dtype=jnp.float32):
+    # reference PatchEmbed._init_weights: xavier_uniform on (out, in*k*k)
+    return {"proj": nn.conv2d_init(key, in_chans, embed_dim, patch_size, dtype=dtype)}
+
+
+def apply_patch_embed(p, img, patch_size: int):
+    """img: (B, H, W, C) NHWC -> tokens (B, h*w, D), positions (B, h*w, 2).
+
+    Images must already be landscape-oriented (W >= H); mixed-orientation
+    batches are handled upstream by pre-transposing portrait images
+    (reference ManyAR_PatchEmbed, dust3r/patch_embed.py:32-70 — we replace its
+    dynamic boolean indexing with static host-side orientation handling,
+    which XLA requires anyway).
+    """
+    B, H, W, _ = img.shape
+    x = nn.conv2d(p["proj"], img, stride=patch_size, padding="VALID")
+    h, w = x.shape[1], x.shape[2]
+    tokens = x.reshape(B, h * w, x.shape[-1])
+    pos = make_grid_positions(h, w, batch=B)
+    return tokens, pos

@@ -1,0 +1,76 @@
+"""2D rotary position embedding (RoPE2D), pure jnp.
+
+Semantics match the reference torch fallback
+(/root/reference/croco/models/pos_embed.py:110-157) and the curope CUDA kernel
+(croco/models/curope/kernels.cu:17-108): the head dim is split in two halves;
+the first half is rotated by the token's y coordinate, the second by its x
+coordinate. Within each half, rotation is GPT-NeoX style: freqs of length
+D/4 duplicated, rotate_half = (-x2, x1).
+
+Instead of the reference's cached cos/sin embedding tables indexed by integer
+positions, we compute cos/sin directly from the (possibly float) position
+tensor — shape-static, fusible, and identical numerically for integer
+positions.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def rope_cos_sin(pos1d: jnp.ndarray, half_dim: int, base: float = 100.0, dtype=jnp.float32):
+    """cos/sin tables for 1D positions.
+
+    pos1d: (..., N) positions. Returns cos, sin of shape (..., N, half_dim)
+    where the frequency layout is cat(f, f) with f = base^(-2i/half_dim),
+    i in [0, half_dim/2).
+    """
+    D = half_dim
+    inv_freq = 1.0 / (base ** (jnp.arange(0, D, 2, dtype=jnp.float32) / D))  # (D/2,)
+    freqs = pos1d[..., None].astype(jnp.float32) * inv_freq  # (..., N, D/2)
+    freqs = jnp.concatenate([freqs, freqs], axis=-1)  # (..., N, D)
+    return jnp.cos(freqs).astype(dtype), jnp.sin(freqs).astype(dtype)
+
+
+def _rotate_half(x):
+    x1, x2 = jnp.split(x, 2, axis=-1)
+    return jnp.concatenate([-x2, x1], axis=-1)
+
+
+def apply_rope1d(tokens: jnp.ndarray, cos: jnp.ndarray, sin: jnp.ndarray):
+    """tokens: (B, H, N, D); cos/sin: (B, N, D) broadcast over heads."""
+    cos = cos[:, None]
+    sin = sin[:, None]
+    return tokens * cos + _rotate_half(tokens) * sin
+
+
+def apply_rope2d(tokens: jnp.ndarray, positions: jnp.ndarray, base: float = 100.0):
+    """RoPE2D on attention heads.
+
+    tokens: (B, H, N, D) with D % 4 == 0; positions: (B, N, 2) as (y, x).
+    Returns rotated tokens, same shape/dtype.
+    """
+    D = tokens.shape[-1]
+    assert D % 4 == 0, f"head dim {D} must be divisible by 4 for RoPE2D"
+    half = D // 2
+    dtype = tokens.dtype
+    cos_y, sin_y = rope_cos_sin(positions[..., 0], half, base, dtype)
+    cos_x, sin_x = rope_cos_sin(positions[..., 1], half, base, dtype)
+    ty, tx = jnp.split(tokens, 2, axis=-1)
+    ty = apply_rope1d(ty, cos_y, sin_y)
+    tx = apply_rope1d(tx, cos_x, sin_x)
+    return jnp.concatenate([ty, tx], axis=-1)
+
+
+def make_grid_positions(h: int, w: int, batch: int | None = None, dtype=jnp.int32):
+    """Token (y, x) positions for an h x w patch grid, row-major.
+
+    Returns (h*w, 2) or (batch, h*w, 2). Matches PositionGetter
+    (reference croco/models/blocks.py:195-208, cartesian_prod(y, x)).
+    """
+    ys = jax.lax.broadcasted_iota(dtype, (h, w), 0)
+    xs = jax.lax.broadcasted_iota(dtype, (h, w), 1)
+    pos = jnp.stack([ys, xs], axis=-1).reshape(h * w, 2)
+    if batch is not None:
+        pos = jnp.broadcast_to(pos[None], (batch, h * w, 2))
+    return pos

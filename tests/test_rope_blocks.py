@@ -1,0 +1,136 @@
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from align3r_tpu.models.rope import apply_rope2d, make_grid_positions, rope_cos_sin
+from align3r_tpu.models import blocks, nn
+from align3r_tpu.ops.attention import xla_attention
+
+
+def numpy_rope2d_oracle(tokens, positions, base=100.0):
+    """Independent numpy implementation of the documented RoPE2D semantics:
+    table lookup per integer position, half-split y/x, NeoX rotation."""
+    B, H, N, D = tokens.shape
+    half = D // 2
+    max_pos = int(positions.max()) + 1
+    inv_freq = 1.0 / (base ** (np.arange(0, half, 2, dtype=np.float64) / half))
+    t = np.arange(max_pos, dtype=np.float64)
+    freqs = np.outer(t, inv_freq)
+    freqs = np.concatenate([freqs, freqs], axis=-1)  # (maxpos, half)
+    cos_t, sin_t = np.cos(freqs), np.sin(freqs)
+
+    def rot_half(x):
+        x1, x2 = x[..., : x.shape[-1] // 2], x[..., x.shape[-1] // 2:]
+        return np.concatenate([-x2, x1], axis=-1)
+
+    def rope1d(tok, pos1d):
+        cos = cos_t[pos1d][:, None, :, :]  # (B,1,N,half)
+        sin = sin_t[pos1d][:, None, :, :]
+        return tok * cos + rot_half(tok) * sin
+
+    y, x = tokens[..., :half], tokens[..., half:]
+    y = rope1d(y, positions[..., 0])
+    x = rope1d(x, positions[..., 1])
+    return np.concatenate([y, x], axis=-1)
+
+
+def test_rope2d_matches_oracle():
+    rng = np.random.default_rng(0)
+    B, H, N, D = 2, 3, 24, 16
+    tokens = rng.standard_normal((B, H, N, D)).astype(np.float32)
+    pos = rng.integers(0, 30, (B, N, 2))
+    out = np.asarray(apply_rope2d(jnp.asarray(tokens), jnp.asarray(pos)))
+    expect = numpy_rope2d_oracle(tokens, pos)
+    np.testing.assert_allclose(out, expect, atol=1e-5)
+
+
+def test_rope_norm_preserving():
+    rng = np.random.default_rng(1)
+    tokens = rng.standard_normal((1, 2, 10, 32)).astype(np.float32)
+    pos = rng.integers(0, 20, (1, 10, 2))
+    out = np.asarray(apply_rope2d(jnp.asarray(tokens), jnp.asarray(pos)))
+    # rotation preserves the norm of each (u,v) pair, hence the full vector norm
+    np.testing.assert_allclose(np.linalg.norm(out, axis=-1),
+                               np.linalg.norm(tokens, axis=-1), rtol=1e-5)
+
+
+def test_grid_positions():
+    pos = np.asarray(make_grid_positions(2, 3))
+    expect = np.array([[0, 0], [0, 1], [0, 2], [1, 0], [1, 1], [1, 2]])
+    np.testing.assert_array_equal(pos, expect)
+
+
+def test_xla_attention_matches_numpy():
+    rng = np.random.default_rng(2)
+    q = rng.standard_normal((2, 4, 9, 16)).astype(np.float32)
+    k = rng.standard_normal((2, 4, 9, 16)).astype(np.float32)
+    v = rng.standard_normal((2, 4, 9, 16)).astype(np.float32)
+    out = np.asarray(xla_attention(*map(jnp.asarray, (q, k, v))))
+    logits = np.einsum("bhqd,bhkd->bhqk", q, k) / np.sqrt(16)
+    p = np.exp(logits - logits.max(-1, keepdims=True))
+    p /= p.sum(-1, keepdims=True)
+    expect = np.einsum("bhqk,bhkd->bhqd", p, v)
+    np.testing.assert_allclose(out, expect, atol=1e-5)
+
+
+def test_block_shapes_and_jit():
+    key = jax.random.PRNGKey(0)
+    dim, heads, N, B = 64, 4, 12, 2
+    p = blocks.init_block(key, dim, heads)
+    x = jax.random.normal(key, (B, N, dim))
+    pos = make_grid_positions(3, 4, batch=B)
+    f = jax.jit(lambda p, x: blocks.apply_block(p, x, pos, heads))
+    out = f(p, x)
+    assert out.shape == (B, N, dim)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_decoder_block_cross_attends():
+    key = jax.random.PRNGKey(1)
+    dim, heads = 32, 2
+    p = blocks.init_decoder_block(key, dim, heads)
+    x = jax.random.normal(key, (1, 6, dim))
+    y1 = jax.random.normal(jax.random.PRNGKey(2), (1, 6, dim))
+    y2 = jax.random.normal(jax.random.PRNGKey(3), (1, 6, dim))
+    pos = make_grid_positions(2, 3, batch=1)
+    o1 = blocks.apply_decoder_block(p, x, y1, pos, pos, heads)
+    o2 = blocks.apply_decoder_block(p, x, y2, pos, pos, heads)
+    # changing the memory changes the output (cross attention active)
+    assert not np.allclose(np.asarray(o1), np.asarray(o2))
+
+
+def test_patch_embed():
+    key = jax.random.PRNGKey(4)
+    p = blocks.init_patch_embed(key, 16, 3, 96)
+    img = jax.random.normal(key, (2, 64, 96, 3))
+    tok, pos = blocks.apply_patch_embed(p, img, 16)
+    assert tok.shape == (2, 4 * 6, 96)
+    assert pos.shape == (2, 24, 2)
+    assert pos[0, -1, 0] == 3 and pos[0, -1, 1] == 5
+
+
+def test_layernorm_matches_numpy():
+    rng = np.random.default_rng(5)
+    x = rng.standard_normal((3, 7, 16)).astype(np.float32)
+    p = nn.layernorm_init(16)
+    out = np.asarray(nn.layernorm(p, jnp.asarray(x)))
+    mu = x.mean(-1, keepdims=True)
+    var = x.var(-1, keepdims=True)
+    np.testing.assert_allclose(out, (x - mu) / np.sqrt(var + 1e-6), atol=1e-5)
+
+
+def test_bilinear_resize_align_corners():
+    x = jnp.arange(16.0).reshape(1, 4, 4, 1)
+    y = np.asarray(nn.bilinear_resize(x, 8, 8, align_corners=True))
+    assert y.shape == (1, 8, 8, 1)
+    # corners preserved with align_corners=True
+    assert y[0, 0, 0, 0] == 0 and y[0, -1, -1, 0] == 15
+    # compare against torch oracle
+    import torch
+    import torch.nn.functional as F
+    t = torch.arange(16.0).reshape(1, 1, 4, 4)
+    expect = F.interpolate(t, size=(8, 8), mode="bilinear", align_corners=True)
+    np.testing.assert_allclose(y[0, :, :, 0], expect[0, 0].numpy(), atol=1e-5)
+    y2 = np.asarray(nn.bilinear_resize(x, 7, 5, align_corners=False))
+    expect2 = F.interpolate(t, size=(7, 5), mode="bilinear", align_corners=False)
+    np.testing.assert_allclose(y2[0, :, :, 0], expect2[0, 0].numpy(), atol=1e-5)
