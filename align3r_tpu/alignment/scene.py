@@ -1,0 +1,266 @@
+"""Global alignment scene: parameters, loss, and the jitted Adam scan loop.
+
+Behavioural reference:
+- /root/reference/dust3r/cloud_opt/base_opt.py (pose decode 184-229, forward
+  344-371, global_alignment_loop 424-464)
+- /root/reference/dust3r/cloud_opt/optimizer.py (PointCloudOptimizer: params
+  29-54, precomputed buffers 55-71, depth param 165-187, depth_to_pts3d
+  189-199, forward 223-241, _fast_depthmap_to_pts3d 244-251)
+
+TPU-first redesign (SURVEY.md §7.5): the whole niter-step Adam loop compiles
+to ONE XLA program (`lax.scan` over a precomputed LR schedule); parameters
+live in a flat dict; per-row freezing (preset poses/focals, init_priors
+anchoring) is a gradient mask, so frozen entries keep exactly their initial
+values (zero Adam moments -> zero updates).
+
+All images in a scene share one (H, W) — the video tools resize a sequence
+uniformly, so no per-image max_area padding is needed (the reference pads
+because it mixes aspect ratios in one optimizer; we keep shapes static).
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from align3r_tpu.geometry import (
+    xy_grid, geotrf, pose_vec_to_matrix, matrix_to_pose_vec, sim3_vec_to_matrix,
+)
+from align3r_tpu.geometry.core import closed_form_pose_inverse, safe_norm
+from align3r_tpu.alignment.schedules import schedule_array
+
+
+@dataclasses.dataclass(frozen=True)
+class SceneConfig:
+    imshape: Tuple[int, int]           # (H, W), shared by all frames
+    n_imgs: int
+    n_edges: int
+    if_use_mono: bool = False          # depth = mono*exp(scalemap)+shift vs exp(logdepth)
+    focal_break: float = 20.0
+    pw_break: float = 20.0
+    base_scale: float = 0.5
+    norm_pw_scale: bool = True
+    conf: str = "log"                  # conf transform for pixel weights
+    min_conf_thr: float = 3.0
+    optimize_pp: bool = False
+    shared_focal: bool = False         # flow-variant option (one focal for all)
+    # flow-variant loss terms (0 = disabled; used by flow_forward)
+    temporal_smoothing_weight: float = 0.0
+    translation_weight: float = 1.0
+    flow_loss_weight: float = 0.0
+    depth_regularize_weight: float = 0.0
+
+    @property
+    def n_focals(self) -> int:
+        return 1 if self.shared_focal else self.n_imgs
+
+
+def conf_transform(conf, mode: str):
+    if mode == "log":
+        return jnp.log(conf)
+    if mode == "sqrt":
+        return jnp.sqrt(conf)
+    if mode == "m1":
+        return conf - 1
+    if mode in ("id", "none"):
+        return conf
+    raise ValueError(mode)
+
+
+@functools.partial(jax.tree_util.register_dataclass, drop_fields=[])
+@dataclasses.dataclass
+class SceneData:
+    """Frozen per-edge observations (device arrays)."""
+    ei: jnp.ndarray                    # (E,) int32 view-1 image index per edge
+    ej: jnp.ndarray                    # (E,)
+    pred_i: jnp.ndarray                # (E, A, 3) pts3d in cam i
+    pred_j: jnp.ndarray                # (E, A, 3) pts3d of j in cam i
+    weight_i: jnp.ndarray              # (E, A) conf-transformed weights
+    weight_j: jnp.ndarray              # (E, A)
+    grid: jnp.ndarray                  # (A, 2) pixel coords
+    base_pp: jnp.ndarray               # (2,) = (W/2, H/2)
+    mono_depths: Optional[jnp.ndarray] = None  # (n, A) frozen monocular depths
+    im_conf: Optional[jnp.ndarray] = None      # (n, A) max conf per image pixel
+    dynamic_masks: Optional[jnp.ndarray] = None  # (n, A) 1=dynamic
+
+
+def build_scene(output: Dict, cfg_kw: Dict | None = None,
+                mono_depths=None) -> Tuple[SceneConfig, SceneData, Dict]:
+    """From the inference-engine output dict, build (config, data, params).
+
+    output: {'view1': {'idx'}, 'view2': {'idx'}, 'pred1': {...}, 'pred2': {...}}
+    (reference cloud_opt/__init__.py:26-40 global_aligner factory).
+    """
+    cfg_kw = dict(cfg_kw or {})
+    idx_i = np.asarray(output["view1"]["idx"])
+    idx_j = np.asarray(output["view2"]["idx"])
+    pred1 = output["pred1"]
+    pred2 = output["pred2"]
+    E, H, W, _ = pred1["pts3d"].shape
+    A = H * W
+    n_imgs = int(max(idx_i.max(), idx_j.max())) + 1
+
+    cfg = SceneConfig(imshape=(H, W), n_imgs=n_imgs, n_edges=E,
+                      if_use_mono=mono_depths is not None, **cfg_kw)
+
+    conf_i = jnp.asarray(pred1["conf"]).reshape(E, A)
+    conf_j = jnp.asarray(pred2["conf"]).reshape(E, A)
+    # per-image conf = max over incident edges (base_opt.py:169-175)
+    im_conf = jnp.zeros((n_imgs, A))
+    im_conf = im_conf.at[idx_i].max(conf_i)
+    im_conf = im_conf.at[idx_j].max(conf_j)
+
+    data = SceneData(
+        ei=jnp.asarray(idx_i, jnp.int32),
+        ej=jnp.asarray(idx_j, jnp.int32),
+        pred_i=jnp.asarray(pred1["pts3d"]).reshape(E, A, 3),
+        pred_j=jnp.asarray(pred2["pts3d_in_other_view"]).reshape(E, A, 3),
+        weight_i=conf_transform(conf_i, cfg.conf),
+        weight_j=conf_transform(conf_j, cfg.conf),
+        grid=xy_grid(W, H).reshape(A, 2),
+        base_pp=jnp.array([W / 2, H / 2], jnp.float32),
+        mono_depths=(jnp.asarray(mono_depths).reshape(n_imgs, A)
+                     if mono_depths is not None else None),
+        im_conf=im_conf,
+    )
+    params = init_params(cfg, seed=0)
+    return cfg, data, params
+
+
+def init_params(cfg: SceneConfig, seed: int = 0) -> Dict:
+    """Random pose init (reference rand_pose=torch.randn, optimizer.py:35-39)."""
+    H, W = cfg.imshape
+    A = H * W
+    k = jax.random.PRNGKey(seed)
+    k1, k2 = jax.random.split(k)
+    params = {
+        "pw_poses": jax.random.normal(k1, (cfg.n_edges, 8)),
+        "im_poses": jax.random.normal(k2, (cfg.n_imgs, 7)),
+        "im_focals": jnp.full((cfg.n_focals,), cfg.focal_break * np.log(max(H, W)),
+                              jnp.float32),
+        "im_pp": jnp.zeros((cfg.n_imgs, 2)),
+    }
+    if cfg.if_use_mono:
+        params["scalemaps"] = jnp.zeros((cfg.n_imgs, A))
+        params["shifts"] = jnp.zeros((cfg.n_imgs,))
+    else:
+        params["im_depthmaps"] = jax.random.normal(
+            jax.random.PRNGKey(seed + 1), (cfg.n_imgs, A)) / 10 - 3
+    return params
+
+
+def default_masks(cfg: SceneConfig, params: Dict) -> Dict:
+    masks = {k: jnp.ones_like(v) for k, v in params.items()}
+    if not cfg.optimize_pp:
+        masks["im_pp"] = jnp.zeros_like(params["im_pp"])
+    return masks
+
+
+# ---------------------------------------------------------------- decoding
+
+def get_focals(params, cfg: SceneConfig):
+    f = jnp.exp(params["im_focals"] / cfg.focal_break)
+    if cfg.shared_focal:
+        f = jnp.broadcast_to(f, (cfg.n_imgs,))
+    return f
+
+
+def get_principal_points(params, data: SceneData):
+    return data.base_pp[None] + 10 * params["im_pp"]
+
+
+def get_im_poses(params):
+    """(n, 4, 4) cam2world matrices."""
+    return pose_vec_to_matrix(params["im_poses"])
+
+
+def get_pw_poses(params, cfg: SceneConfig):
+    return sim3_vec_to_matrix(params["pw_poses"], norm_scale=cfg.norm_pw_scale,
+                              base_scale=cfg.base_scale)
+
+
+def get_depthmaps_raw(params, data: SceneData, cfg: SceneConfig):
+    if cfg.if_use_mono:
+        return data.mono_depths * jnp.exp(params["scalemaps"]) + params["shifts"][:, None]
+    return jnp.exp(params["im_depthmaps"])
+
+
+def depth_to_pts3d(params, data: SceneData, cfg: SceneConfig):
+    """(n, A, 3) world-frame points from per-pixel depths + poses
+    (optimizer.py:189-199, 244-251)."""
+    depth = get_depthmaps_raw(params, data, cfg)            # (n, A)
+    focals = get_focals(params, cfg)[:, None, None]          # (n, 1, 1)
+    pp = get_principal_points(params, data)[:, None, :]      # (n, 1, 2)
+    rel = jnp.concatenate(
+        [depth[..., None] * (data.grid[None] - pp) / focals, depth[..., None]],
+        axis=-1)
+    return geotrf(get_im_poses(params), rel)
+
+
+# ------------------------------------------------------------------- loss
+
+def pairwise_pts_loss(params, data: SceneData, cfg: SceneConfig):
+    """The core per-edge L1 alignment loss (optimizer.py:223-241)."""
+    pw = get_pw_poses(params, cfg)                           # (E, 4, 4)
+    proj = depth_to_pts3d(params, data, cfg)                 # (n, A, 3)
+    aligned_i = geotrf(pw, data.pred_i)
+    aligned_j = geotrf(pw, data.pred_j)
+    di = safe_norm(jnp.take(proj, data.ei, axis=0) - aligned_i, axis=-1)
+    dj = safe_norm(jnp.take(proj, data.ej, axis=0) - aligned_j, axis=-1)
+    A = data.grid.shape[0]
+    total_i = data.ei.shape[0] * A
+    total_j = data.ej.shape[0] * A
+    return (di * data.weight_i).sum() / total_i + (dj * data.weight_j).sum() / total_j
+
+
+# --------------------------------------------------------------- the loop
+
+@functools.partial(jax.jit, static_argnames=("cfg", "loss_fn"))
+def _alignment_scan(params, masks, data: SceneData, lrs, cfg: SceneConfig,
+                    loss_fn=pairwise_pts_loss):
+    adam = optax.scale_by_adam(b1=0.9, b2=0.9)   # Adam betas (0.9, 0.9), base_opt.py:437
+    opt_state = adam.init(params)
+
+    def step(carry, lr):
+        p, st = carry
+        loss, grads = jax.value_and_grad(loss_fn)(p, data, cfg)
+        grads = jax.tree.map(lambda g, m: g * m, grads, masks)
+        updates, st = adam.update(grads, st)
+        updates = jax.tree.map(lambda u: -lr * u, updates)
+        p = optax.apply_updates(p, updates)
+        return (p, st), loss
+
+    (params, _), losses = jax.lax.scan(step, (params, opt_state), lrs)
+    return params, losses
+
+
+def global_alignment_loop(params, masks, data: SceneData, cfg: SceneConfig,
+                          lr: float = 0.01, niter: int = 300,
+                          schedule: str = "cosine", lr_min: float = 1e-6,
+                          loss_fn=pairwise_pts_loss):
+    """Run the full Adam solve on device. Returns (params, losses (niter,))."""
+    lrs = jnp.asarray(schedule_array(schedule, niter, lr, lr_min))
+    return _alignment_scan(params, masks, data, lrs, cfg, loss_fn)
+
+
+# ---------------------------------------------------- setting params (init)
+
+def set_pose_vec(vec_arr, idx, T, scale=None):
+    v = matrix_to_pose_vec(jnp.asarray(T, jnp.float32), scale=scale)
+    return vec_arr.at[idx].set(v)
+
+
+def set_focal(params, cfg: SceneConfig, idx, focal):
+    return dict(params, im_focals=params["im_focals"].at[idx].set(
+        cfg.focal_break * jnp.log(jnp.asarray(focal, jnp.float32))))
+
+
+def set_depthmap(params, idx, depth):
+    """depth: (A,) for scalar idx, or (len(idx), A) for index arrays."""
+    logd = jnp.log(jnp.clip(jnp.asarray(depth, jnp.float32), 1e-8))
+    return dict(params, im_depthmaps=params["im_depthmaps"].at[idx].set(logd))

@@ -14,6 +14,17 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def safe_norm(x, axis=-1, keepdims: bool = False, eps: float = 1e-12):
+    """||x|| with a well-defined (zero) gradient at x = 0.
+
+    jnp.linalg.norm's gradient is x/||x|| -> NaN at exactly 0; masked/padded
+    points are exact zeros throughout this codebase, so every norm on the
+    differentiated path must use this instead.
+    """
+    sq = jnp.sum(x * x, axis=axis, keepdims=keepdims)
+    return jnp.sqrt(jnp.clip(sq, eps)) * jnp.sign(sq)
+
+
 def xy_grid(W: int, H: int, origin=(0, 0), homogeneous: bool = False, dtype=jnp.float32):
     """(H, W, 2) grid with out[j, i] = (i + ox, j + oy); optionally (H, W, 3) homogeneous."""
     xs = jnp.arange(origin[0], origin[0] + W, dtype=dtype)
@@ -141,7 +152,7 @@ def normalize_pointcloud(pts1, pts2=None, norm_mode: str = "avg_dis",
         nnz = n1 + n2
     else:
         all_pts, nnz = p1, n1
-    all_dis = jnp.linalg.norm(all_pts, axis=-1)
+    all_dis = safe_norm(all_pts, axis=-1)
     norm_factor = all_dis.sum(axis=1) / (nnz + 1e-8)
     norm_factor = jnp.clip(norm_factor, 1e-8)[:, None, None, None]
     res1 = pts1 / norm_factor

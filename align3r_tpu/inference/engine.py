@@ -1,0 +1,129 @@
+"""Batched, jitted pairwise inference engine.
+
+Behavioural reference: /root/reference/dust3r/inference.py:32-78 (inference,
+loss_of_one_batch) and dust3r/model.py:176-196 (symmetrised encode sharing).
+
+TPU-first redesign (SURVEY.md §7.4): instead of running the full two-view
+network once per pair (re-encoding every image each time it appears in a
+window), we
+  1. encode every unique image ONCE, batched (the ViT-L encoder dominates
+     FLOPs; sliding-window graphs reuse each image in ~2·winsize pairs, so
+     this alone is a ~10x encoder saving over the reference loop);
+  2. patch-embed every prior pointcloud once;
+  3. gather per-pair features and run the decoder+heads in fixed-size jitted
+     batches (last batch padded — static shapes, one compiled program).
+
+Everything stays on device; results are returned as stacked arrays per edge,
+ready for the global aligner (no CPU round-trip; cf. reference
+inference.py:68 which moves every batch to CPU and re-uploads later).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Dict, List, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from align3r_tpu.models.align3r import encode_images, embed_point_cloud, decode_pair
+from align3r_tpu.models.config import Align3RConfig
+from align3r_tpu.models.dpt_head import apply_dpt_head
+from align3r_tpu.models.rope import make_grid_positions
+
+
+def _decode_batch(params, feat1, feat2, pc1, pc2, cfg: Align3RConfig,
+                  img_hw: Tuple[int, int], dtype=jnp.bfloat16):
+    """Decoder + heads for a batch of pairs with precomputed features."""
+    H, W = img_hw
+    grid = (H // cfg.patch_size, W // cfg.patch_size)
+    Bp = feat1.shape[0]
+    pos = make_grid_positions(grid[0], grid[1], batch=Bp)
+    pc_pos = make_grid_positions(grid[0], grid[1], batch=2 * Bp)
+    pc_tokens = jnp.concatenate([pc1, pc2], axis=0)
+    hooks1, hooks2 = decode_pair(params, feat1, pos, feat2, pos,
+                                 pc_tokens, pc_pos, cfg, dtype)
+    res1 = apply_dpt_head(params["head1"], hooks1, grid, (H, W),
+                          cfg.depth_mode, cfg.conf_mode)
+    res2 = apply_dpt_head(params["head2"], hooks2, grid, (H, W),
+                          cfg.depth_mode, cfg.conf_mode)
+    return res1, res2
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "img_hw", "dtype"))
+def _decode_batch_jit(params, feat1, feat2, pc1, pc2, cfg, img_hw, dtype=jnp.bfloat16):
+    return _decode_batch(params, feat1, feat2, pc1, pc2, cfg, img_hw, dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "dtype"))
+def _encode_all_jit(params, imgs, priors, cfg, dtype=jnp.bfloat16):
+    feats, _ = encode_images(params, imgs, cfg, dtype)
+    pc_tok, _ = embed_point_cloud(params, priors, cfg, dtype)
+    return feats, pc_tok
+
+
+def inference(pairs: Sequence[Tuple[int, int]], params, cfg: Align3RConfig,
+              imgs: jnp.ndarray, priors: jnp.ndarray,
+              batch_size: int = 8, dtype=jnp.bfloat16,
+              encode_chunk: int = 16) -> Dict:
+    """Run the two-view network over a frame graph.
+
+    pairs: list of (i, j) index edges; imgs: (n, H, W, 3) normalised,
+    landscape; priors: (n, H, W, 3) normalised prior pointclouds.
+
+    Returns dict mirroring the reference output contract
+    (dust3r/inference.py:55-72):
+      view1/view2: {'idx': (E,) int}
+      pred1: {'pts3d': (E,H,W,3), 'conf': (E,H,W)}
+      pred2: {'pts3d_in_other_view': ..., 'conf': ...}
+    All arrays on-device fp32.
+    """
+    n, H, W, _ = imgs.shape
+    assert W >= H, "engine expects landscape images (pre-transpose portraits)"
+
+    # 1-2) per-image encoder + prior embed, chunked to bound memory
+    feats_l, pc_l = [], []
+    for s in range(0, n, encode_chunk):
+        e = min(s + encode_chunk, n)
+        # pad the last chunk so every call shares one compiled shape
+        pad = encode_chunk - (e - s)
+        im = imgs[s:e]
+        pr = priors[s:e]
+        if pad:
+            im = jnp.concatenate([im, jnp.zeros((pad, H, W, 3), im.dtype)], axis=0)
+            pr = jnp.concatenate([pr, jnp.zeros((pad, H, W, 3), pr.dtype)], axis=0)
+        f, pc = _encode_all_jit(params, im, pr, cfg, dtype)
+        feats_l.append(f[: e - s])
+        pc_l.append(pc[: e - s])
+    feats = jnp.concatenate(feats_l, axis=0)
+    pc_tok = jnp.concatenate(pc_l, axis=0)
+
+    # 3) decoder over pair batches
+    idx_i = np.array([p[0] for p in pairs], np.int32)
+    idx_j = np.array([p[1] for p in pairs], np.int32)
+    E = len(pairs)
+    outs1, outs2 = [], []
+    for s in range(0, E, batch_size):
+        e = min(s + batch_size, E)
+        bi, bj = idx_i[s:e], idx_j[s:e]
+        pad = batch_size - (e - s)
+        if pad:
+            bi = np.concatenate([bi, np.zeros(pad, np.int32)])
+            bj = np.concatenate([bj, np.zeros(pad, np.int32)])
+        f1 = jnp.take(feats, jnp.asarray(bi), axis=0)
+        f2 = jnp.take(feats, jnp.asarray(bj), axis=0)
+        p1 = jnp.take(pc_tok, jnp.asarray(bi), axis=0)
+        p2 = jnp.take(pc_tok, jnp.asarray(bj), axis=0)
+        r1, r2 = _decode_batch_jit(params, f1, f2, p1, p2, cfg, (H, W), dtype)
+        outs1.append(jax.tree.map(lambda x: x[: e - s], r1))
+        outs2.append(jax.tree.map(lambda x: x[: e - s], r2))
+
+    cat = lambda outs: jax.tree.map(lambda *xs: jnp.concatenate(xs, axis=0), *outs)
+    res1, res2 = cat(outs1), cat(outs2)
+    res2["pts3d_in_other_view"] = res2.pop("pts3d")
+    return {
+        "view1": {"idx": idx_i},
+        "view2": {"idx": idx_j},
+        "pred1": res1,
+        "pred2": res2,
+    }

@@ -55,13 +55,20 @@ def layernorm(p, x, eps: float = 1e-6):
 
 def conv2d_init(key, in_ch: int, out_ch: int, kernel: int | tuple, bias: bool = True,
                 dtype=jnp.float32, zero: bool = False):
+    """Torch Conv2d default init (kaiming_uniform a=sqrt(5) == U(±1/sqrt(fan_in))).
+
+    The reference xavier-inits only nn.Linear (croco.py:129-134); convs keep
+    the torch default. Matching it matters: xavier is sqrt(3) wider per layer,
+    which compounds through the ~15-conv DPT head and overflows the expm1
+    pts3d activation at random init.
+    """
     kh, kw = (kernel, kernel) if isinstance(kernel, int) else kernel
     fan_in = in_ch * kh * kw
-    fan_out = out_ch * kh * kw
     if zero:
         k = jnp.zeros((kh, kw, in_ch, out_ch), dtype)
     else:
-        k = xavier_uniform(key, (kh, kw, in_ch, out_ch), fan_in, fan_out, dtype)
+        b = 1.0 / math.sqrt(fan_in)
+        k = jax.random.uniform(key, (kh, kw, in_ch, out_ch), dtype, -b, b)
     p = {"kernel": k}
     if bias:
         p["bias"] = jnp.zeros((out_ch,), dtype)
@@ -82,8 +89,8 @@ def conv2d(p, x, stride: int | tuple = 1, padding="SAME"):
 def conv_transpose2d_init(key, in_ch: int, out_ch: int, stride: int, dtype=jnp.float32):
     """ConvTranspose2d with kernel_size == stride (the only case DPT uses).
     Kernel stored (in, s, s, out); equivalent to a dense + depth-to-space."""
-    fan_in, fan_out = in_ch, out_ch * stride * stride
-    k = xavier_uniform(key, (in_ch, stride, stride, out_ch), fan_in, fan_out, dtype)
+    b = 1.0 / math.sqrt(in_ch)
+    k = jax.random.uniform(key, (in_ch, stride, stride, out_ch), dtype, -b, b)
     return {"kernel": k, "bias": jnp.zeros((out_ch,), dtype)}
 
 

@@ -21,12 +21,17 @@ def reg_dense_depth(xyz: jnp.ndarray, mode):
         if vmin == -INF and vmax == INF:
             return xyz
         return jnp.clip(xyz, vmin, vmax)
-    d = jnp.linalg.norm(xyz, axis=-1, keepdims=True)
+    from align3r_tpu.geometry.core import safe_norm
+    d = safe_norm(xyz, axis=-1, keepdims=True)
     unit = xyz / jnp.clip(d, 1e-8)
     if name == "square":
         return unit * jnp.square(d)
     if name == "exp":
-        return unit * jnp.expm1(d)
+        # clamp the exponent: beyond ~40 the fp32 squared-norms used by every
+        # downstream loss overflow. Trained checkpoints emit d <= ~10; the
+        # clamp only matters for from-scratch training stability (the
+        # reference always starts from a DUSt3R checkpoint and never hits it).
+        return unit * jnp.expm1(jnp.minimum(d, 40.0))
     raise ValueError(f"bad depth mode {name!r}")
 
 
@@ -34,7 +39,9 @@ def reg_dense_conf(x: jnp.ndarray, mode):
     """x: (...,) raw conf channel -> confidence."""
     name, vmin, vmax = mode
     if name == "exp":
-        return vmin + jnp.clip(jnp.exp(x), max=vmax - vmin)
+        # exponent clamp: exp overflows fp32 past ~88 (vmax is inf for the
+        # released conf_mode so the reference's clip gives no protection)
+        return vmin + jnp.clip(jnp.exp(jnp.minimum(x, 80.0)), max=vmax - vmin)
     if name == "sigmoid":
         return (vmax - vmin) * jax.nn.sigmoid(x) + vmin
     raise ValueError(f"bad conf mode {name!r}")

@@ -1,0 +1,49 @@
+"""Device mesh and sharding helpers.
+
+TPU-native replacement for the reference's NCCL DDP stack
+(/root/reference/croco/utils/misc.py:222-243, dust3r/training.py:162-165):
+a jax.sharding.Mesh with a 'data' axis (optionally 'model' for larger-scale
+runs) carries gradient sync as XLA collectives over ICI — no explicit
+all_reduce calls are needed; pjit inserts psum on the gradients.
+"""
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(n_data: Optional[int] = None, n_model: int = 1,
+              devices: Optional[Sequence] = None) -> Mesh:
+    devices = list(devices if devices is not None else jax.devices())
+    if n_data is None:
+        n_data = len(devices) // n_model
+    assert n_data * n_model <= len(devices), (n_data, n_model, len(devices))
+    arr = np.array(devices[: n_data * n_model]).reshape(n_data, n_model)
+    return Mesh(arr, ("data", "model"))
+
+
+def data_sharding(mesh: Mesh) -> NamedSharding:
+    """Shard the leading (batch) axis over 'data'."""
+    return NamedSharding(mesh, P("data"))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(mesh: Mesh, batch):
+    """Place a host batch pytree on the mesh, leading axis over 'data'."""
+    s = data_sharding(mesh)
+    return jax.tree.map(lambda x: jax.device_put(x, s), batch)
+
+
+def process_slice(items: Sequence, n_proc: Optional[int] = None,
+                  proc_id: Optional[int] = None):
+    """Eval-time task parallelism: shard a work list across processes
+    (reference pose_test.py:98-112 shards sequences across DDP ranks)."""
+    n = n_proc if n_proc is not None else jax.process_count()
+    i = proc_id if proc_id is not None else jax.process_index()
+    return list(items)[i::n]

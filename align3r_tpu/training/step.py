@@ -1,0 +1,114 @@
+"""Sharded train/eval steps (pjit over a device mesh).
+
+Behavioural reference: /root/reference/dust3r/training.py (train:92-248,
+train_one_epoch:279-366, freeze list 291-298) and croco/utils/misc.py
+(param groups 388-452, cosine LR w/ warmup 456-471).
+
+TPU rework: DDP + NativeScaler AMP become a single jitted step — bf16
+forward/backward with fp32 params and Adam state, gradients synced by XLA
+collectives implied by the data-axis sharding. Loss scaling is unnecessary in
+bf16. Encoder freezing (fine-tune recipe) is an optax mask.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from align3r_tpu.models.align3r import apply_align3r
+from align3r_tpu.models.config import Align3RConfig
+from align3r_tpu.training.losses import conf_regr3d_loss
+
+# fine-tune recipe: only these top-level param groups receive gradients
+# (reference training.py:291-298: downstream_head, dec_blocks, dec_norm,
+#  dec_blocks2, dec_blocks_pc, patch_embed_point_cloud, zero_convs —
+#  note decoder_embed stays frozen too: it is absent from the list)
+TRAINABLE_KEYS = (
+    "head1", "head2", "dec_blocks", "dec_blocks2", "dec_norm",
+    "dec_blocks_pc", "patch_embed_point_cloud", "zero_convs",
+)
+
+
+def trainable_mask(params) -> Dict[str, Any]:
+    return {k: jax.tree.map(lambda _, trainable=(k in TRAINABLE_KEYS): trainable, v)
+            for k, v in params.items()}
+
+
+def make_lr_schedule(base_lr: float, min_lr: float, warmup_epochs: float,
+                     total_epochs: float, steps_per_epoch: int):
+    """Per-iter warmup + cosine decay (croco/utils/misc.py:456-471)."""
+    warmup = int(warmup_epochs * steps_per_epoch)
+    total = int(total_epochs * steps_per_epoch)
+    return optax.warmup_cosine_decay_schedule(
+        init_value=0.0, peak_value=base_lr, warmup_steps=max(warmup, 1),
+        decay_steps=max(total, 2), end_value=min_lr)
+
+
+def make_optimizer(params, lr_schedule, weight_decay: float = 0.05,
+                   betas=(0.9, 0.95), max_grad_norm: float | None = None):
+    """AdamW with encoder-freeze masking (training.py:155-160: AdamW
+    betas (0.9, 0.95), weight decay on non-bias/norm params)."""
+    def wd_mask(p):
+        # no weight decay for biases / norm scales (misc.py:416-421)
+        return jax.tree.map(lambda x: getattr(x, "ndim", 0) > 1, p)
+
+    t_mask = trainable_mask(params)
+    f_mask = jax.tree.map(lambda m: not m, t_mask)
+    chain = []
+    # zero updates for frozen params first (optax.masked passes masked-out
+    # leaves through unchanged, so without this frozen grads would be applied)
+    chain.append(optax.masked(optax.set_to_zero(), f_mask))
+    if max_grad_norm:
+        chain.append(optax.clip_by_global_norm(max_grad_norm))
+    inner = optax.adamw(lr_schedule, b1=betas[0], b2=betas[1],
+                        weight_decay=weight_decay, mask=wd_mask)
+    # optimizer state is only allocated for trainable params
+    chain.append(optax.masked(inner, t_mask))
+    return optax.chain(*chain)
+
+
+class TrainState(NamedTuple):
+    params: Any
+    opt_state: Any
+    step: jnp.ndarray
+
+
+def create_train_state(params, tx) -> TrainState:
+    return TrainState(params=params, opt_state=tx.init(params),
+                      step=jnp.zeros((), jnp.int32))
+
+
+def loss_fn(params, batch, cfg: Align3RConfig, alpha: float = 0.2,
+            dtype=jnp.bfloat16, remat: bool = True):
+    """batch: {'view1': {...gt+inputs...}, 'view2': {...}} with per-view keys
+    img, pred_depth (inputs) and pts3d, camera_pose, valid_mask (targets)."""
+    v1, v2 = batch["view1"], batch["view2"]
+    pred1, pred2 = apply_align3r(params, v1, v2, cfg, dtype=dtype, remat=remat)
+    loss, details = conf_regr3d_loss(v1, v2, pred1, pred2, alpha=alpha)
+    return loss, details
+
+
+def make_train_step(tx, cfg: Align3RConfig, alpha: float = 0.2,
+                    dtype=jnp.bfloat16, remat: bool = True):
+    def train_step(state: TrainState, batch) -> Tuple[TrainState, Dict]:
+        (loss, details), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, batch, cfg, alpha, dtype, remat)
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        metrics = dict(details, loss=loss,
+                       grad_norm=optax.global_norm(grads))
+        return TrainState(new_params, new_opt, state.step + 1), metrics
+    return train_step
+
+
+def make_eval_step(cfg: Align3RConfig, dtype=jnp.bfloat16):
+    from align3r_tpu.training.losses import regr3d_scale_shift_inv_loss
+
+    def eval_step(params, batch):
+        v1, v2 = batch["view1"], batch["view2"]
+        pred1, pred2 = apply_align3r(params, v1, v2, cfg, dtype=dtype)
+        return regr3d_scale_shift_inv_loss(v1, v2, pred1, pred2, gt_scale=True)
+    return eval_step

@@ -1,0 +1,69 @@
+"""Benchmark: pairwise inference throughput (image pairs/sec/chip, ViT-L 512).
+
+Measures the canonical hot path (SURVEY.md §3.1 hot loop #1): the Align3R
+ViT-L/16 two-view network over a swinstride-5 frame graph at 512x288, using
+the batched TPU inference engine (unique-image encoding + batched decode).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+vs_baseline: the reference repo publishes no numbers (BASELINE.md). We use a
+documented estimate of the PyTorch reference on A100: bs=1 per symmetrized
+pair, ViT-L 512x288 with plain (non-flash) attention ≈ 8 pairs/s. This
+constant is an estimate, not a measurement; the absolute pairs/s is the
+trustworthy number.
+"""
+from __future__ import annotations
+
+import json
+import time
+
+A100_REFERENCE_PAIRS_PER_SEC = 8.0  # documented estimate, see module docstring
+
+N_FRAMES = 24
+H, W = 288, 512
+BATCH = 8
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from align3r_tpu.models.config import VIT_L_512
+    from align3r_tpu.models.align3r import init_align3r
+    from align3r_tpu.inference.pairs import make_pairs
+    from align3r_tpu.inference.engine import inference
+
+    cfg = VIT_L_512
+    params = init_align3r(jax.random.PRNGKey(0), cfg)
+    key = jax.random.PRNGKey(1)
+    imgs = jax.random.normal(key, (N_FRAMES, H, W, 3), jnp.float32)
+    priors = jax.random.uniform(jax.random.PRNGKey(2), (N_FRAMES, H, W, 3))
+    pairs = make_pairs(N_FRAMES, "swinstride-5-noncyclic", symmetrize=True)
+
+    import numpy as np
+
+    def run():
+        out = inference(pairs, params, cfg, imgs, priors, batch_size=BATCH)
+        # force full execution: on the axon tunnel platform block_until_ready
+        # returns early, so pull a scalar reduction back to the host instead
+        np.asarray(jnp.sum(out["pred1"]["pts3d"]) + jnp.sum(out["pred2"]["conf"]))
+        return out
+
+    run()  # compile
+    t0 = time.perf_counter()
+    n_rep = 2
+    for _ in range(n_rep):
+        run()
+    dt = (time.perf_counter() - t0) / n_rep
+    pairs_per_sec = len(pairs) / dt
+
+    print(json.dumps({
+        "metric": "image pairs/sec/chip (ViT-L 512x288, swinstride-5 graph)",
+        "value": round(pairs_per_sec, 3),
+        "unit": "pairs/s",
+        "vs_baseline": round(pairs_per_sec / A100_REFERENCE_PAIRS_PER_SEC, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

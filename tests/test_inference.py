@@ -1,0 +1,91 @@
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from align3r_tpu.inference.pairs import make_pairs, filter_pairs_seq, hierarchical_pairs
+from align3r_tpu.inference.engine import inference
+from align3r_tpu.models.config import TINY_TEST
+from align3r_tpu.models.align3r import init_align3r, apply_align3r
+
+
+def test_make_pairs_complete():
+    p = make_pairs(4, "complete", symmetrize=False)
+    assert p == [(1, 0), (2, 0), (2, 1), (3, 0), (3, 1), (3, 2)]
+    ps = make_pairs(4, "complete", symmetrize=True)
+    assert len(ps) == 12 and (0, 1) in ps
+
+
+def test_make_pairs_swinstride():
+    # swinstride-5 noncyclic: offsets 1,3,5,7,9 within bounds
+    p = make_pairs(12, "swinstride-5-noncyclic", symmetrize=False)
+    for (i, j) in p:
+        assert i < j and (j - i) in (1, 3, 5, 7, 9)
+    assert (0, 1) in p and (0, 9) in p and (0, 11) not in p
+    # cyclic wraps around
+    pc = make_pairs(12, "swinstride-5", symmetrize=False)
+    assert any(abs(i - j) > 9 for i, j in pc)  # wrapped edges exist
+
+
+def test_make_pairs_logwin_oneref():
+    p = make_pairs(10, "logwin-3-noncyclic", symmetrize=False)
+    for (i, j) in p:
+        assert (j - i) in (1, 2, 4)
+    p1 = make_pairs(5, "oneref-2", symmetrize=False)
+    assert p1 == [(2, 0), (2, 1), (2, 3), (2, 4)]
+
+
+def test_filter_pairs_seq():
+    p = [(0, 1), (0, 5), (2, 3)]
+    assert filter_pairs_seq(p, 2) == [(0, 1), (2, 3)]
+    # cyclic distance: (0,5) with n=6 has cyclic distance 1
+    assert filter_pairs_seq(p, 1, cyclic=True) == [(0, 1), (0, 5), (2, 3)]
+
+
+def test_hierarchical_pairs():
+    keyframes, key_edges, clips = hierarchical_pairs(25, clip_size=10)
+    assert keyframes == [0, 10, 20]
+    assert (10, 0) in key_edges or (0, 10) in [tuple(sorted(e)) for e in key_edges]
+    assert clips[0] == list(range(0, 11))
+    assert clips[1] == list(range(10, 21))
+    assert clips[2] == list(range(20, 25))
+
+
+def test_inference_engine_matches_direct_forward():
+    """Engine output for an edge must equal the plain two-view forward
+    (shared unique-image encoding is exact, not an approximation)."""
+    cfg = TINY_TEST
+    params = init_align3r(jax.random.PRNGKey(0), cfg)
+    n, H, W = 4, 32, 48
+    key = jax.random.PRNGKey(1)
+    imgs = jax.random.normal(key, (n, H, W, 3))
+    priors = jax.random.uniform(jax.random.PRNGKey(2), (n, H, W, 3))
+
+    pairs = make_pairs(n, "swin-1-noncyclic", symmetrize=True)
+    out = inference(pairs, params, cfg, imgs, priors, batch_size=4, dtype=jnp.float32)
+
+    E = len(pairs)
+    assert out["pred1"]["pts3d"].shape == (E, H, W, 3)
+    assert out["pred2"]["pts3d_in_other_view"].shape == (E, H, W, 3)
+    assert out["pred1"]["conf"].shape == (E, H, W)
+
+    # compare edge (i, j) against the direct forward
+    k = pairs.index((1, 0))
+    v1 = {"img": imgs[1:2], "pred_depth": priors[1:2]}
+    v2 = {"img": imgs[0:1], "pred_depth": priors[0:1]}
+    r1, r2 = apply_align3r(params, v1, v2, cfg, dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(out["pred1"]["pts3d"][k]),
+                               np.asarray(r1["pts3d"][0]), atol=2e-4, rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(out["pred2"]["conf"][k]),
+                               np.asarray(r2["conf"][0]), atol=2e-4, rtol=1e-3)
+
+
+def test_inference_engine_padding_last_batch():
+    cfg = TINY_TEST
+    params = init_align3r(jax.random.PRNGKey(0), cfg)
+    n, H, W = 3, 32, 32
+    imgs = jax.random.normal(jax.random.PRNGKey(3), (n, H, W, 3))
+    priors = jax.random.uniform(jax.random.PRNGKey(4), (n, H, W, 3))
+    pairs = make_pairs(n, "complete", symmetrize=False)  # 3 edges, batch 2 -> pad
+    out = inference(pairs, params, cfg, imgs, priors, batch_size=2, dtype=jnp.float32)
+    assert out["pred1"]["pts3d"].shape[0] == 3
+    assert np.isfinite(np.asarray(out["pred1"]["pts3d"])).all()

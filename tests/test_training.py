@@ -1,0 +1,124 @@
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+import pytest
+
+from align3r_tpu.models.config import Align3RConfig
+from align3r_tpu.models.align3r import init_align3r
+from align3r_tpu.training.step import (
+    make_optimizer, make_lr_schedule, make_train_step, make_eval_step,
+    create_train_state, trainable_mask, TRAINABLE_KEYS)
+from align3r_tpu.training.losses import conf_regr3d_loss, regr3d_scale_shift_inv_loss
+from align3r_tpu.parallel.mesh import make_mesh, data_sharding, replicated
+
+CFG = Align3RConfig(img_size=(32, 32), enc_embed_dim=64, enc_depth=2,
+                    enc_num_heads=4, dec_embed_dim=48, dec_depth=12,
+                    dec_num_heads=4)
+
+
+def make_batch(B=2, seed=0):
+    rng = np.random.default_rng(seed)
+    H, W = CFG.img_size
+    def view(s):
+        return {
+            "img": jnp.asarray(rng.standard_normal((B, H, W, 3)), jnp.float32),
+            "pred_depth": jnp.asarray(rng.uniform(0, 1, (B, H, W, 3)), jnp.float32),
+            "pts3d": jnp.asarray(rng.standard_normal((B, H, W, 3)), jnp.float32),
+            "camera_pose": jnp.broadcast_to(jnp.eye(4), (B, 4, 4)),
+            "valid_mask": jnp.asarray(rng.uniform(0, 1, (B, H, W)) > 0.1),
+        }
+    return {"view1": view(0), "view2": view(1)}
+
+
+def test_conf_loss_basics():
+    B, H, W = 2, 8, 8
+    rng = np.random.default_rng(0)
+    gt = lambda: {"pts3d": jnp.asarray(rng.standard_normal((B, H, W, 3)), jnp.float32),
+                  "camera_pose": jnp.broadcast_to(jnp.eye(4), (B, 4, 4)),
+                  "valid_mask": jnp.ones((B, H, W), bool)}
+    gt1, gt2 = gt(), gt()
+    # perfect prediction, conf=1 -> loss = -2*alpha*log(1) + 0 = 0
+    pred1 = {"pts3d": gt1["pts3d"], "conf": jnp.ones((B, H, W))}
+    pred2 = {"pts3d_in_other_view": gt2["pts3d"], "conf": jnp.ones((B, H, W))}
+    # note: normalization scales both identically so distance stays 0
+    loss, details = conf_regr3d_loss(gt1, gt2, pred1, pred2, alpha=0.2)
+    assert float(loss) == pytest.approx(0.0, abs=1e-5)
+    # worse prediction -> larger loss
+    pred1b = {"pts3d": gt1["pts3d"] + 0.5, "conf": jnp.ones((B, H, W))}
+    loss_b, _ = conf_regr3d_loss(gt1, gt2, pred1b, pred2, alpha=0.2)
+    assert float(loss_b) > float(loss)
+
+
+def test_scale_shift_inv_loss_invariance():
+    B, H, W = 1, 8, 8
+    rng = np.random.default_rng(1)
+    pts = jnp.asarray(rng.standard_normal((B, H, W, 3)) + [0, 0, 4], jnp.float32)
+    gt1 = {"pts3d": pts, "camera_pose": jnp.broadcast_to(jnp.eye(4), (B, 4, 4)),
+           "valid_mask": jnp.ones((B, H, W), bool)}
+    gt2 = {"pts3d": pts + 0.1, "camera_pose": gt1["camera_pose"],
+           "valid_mask": gt1["valid_mask"]}
+    pred1 = {"pts3d": pts, "conf": jnp.ones((B, H, W))}
+    pred2 = {"pts3d_in_other_view": gt2["pts3d"], "conf": jnp.ones((B, H, W))}
+    base = float(regr3d_scale_shift_inv_loss(gt1, gt2, pred1, pred2))
+    # scaling predictions + shifting depth must not change the loss
+    s = 2.7
+    shift = jnp.array([0, 0, 1.3], jnp.float32)
+    pred1s = {"pts3d": pts * s + shift, "conf": pred1["conf"]}
+    pred2s = {"pts3d_in_other_view": gt2["pts3d"] * s + shift, "conf": pred2["conf"]}
+    scaled = float(regr3d_scale_shift_inv_loss(gt1, gt2, pred1s, pred2s))
+    assert scaled == pytest.approx(base, abs=2e-3)
+
+
+def test_train_step_decreases_loss_and_freezes_encoder():
+    params = init_align3r(jax.random.PRNGKey(0), CFG)
+    sched = make_lr_schedule(1e-3, 1e-5, 0, 10, 10)
+    tx = make_optimizer(params, sched)
+    state = create_train_state(params, tx)
+    step = jax.jit(make_train_step(tx, CFG, dtype=jnp.float32, remat=False))
+    batch = make_batch()
+    enc_before = np.asarray(
+        jax.tree.leaves(params["enc_blocks"])[0]).copy()
+    emb_before = np.asarray(params["decoder_embed"]["kernel"]).copy()
+    losses = []
+    for _ in range(5):
+        state, metrics = step(state, batch)
+        losses.append(float(metrics["loss"]))
+    assert losses[-1] < losses[0], losses
+    # encoder and decoder_embed frozen (training.py:291-298 recipe)
+    np.testing.assert_array_equal(
+        np.asarray(jax.tree.leaves(state.params["enc_blocks"])[0]), enc_before)
+    np.testing.assert_array_equal(
+        np.asarray(state.params["decoder_embed"]["kernel"]), emb_before)
+    # heads did move
+    assert not np.allclose(np.asarray(state.params["head1"]["head_conv3"]["kernel"]),
+                           np.asarray(params["head1"]["head_conv3"]["kernel"]))
+
+
+def test_eval_step_runs():
+    params = init_align3r(jax.random.PRNGKey(0), CFG)
+    ev = jax.jit(make_eval_step(CFG, dtype=jnp.float32))
+    loss = ev(params, make_batch(seed=5))
+    assert np.isfinite(float(loss))
+
+
+def test_train_step_sharded_8dev():
+    """Data-parallel train step over the 8-device CPU mesh."""
+    mesh = make_mesh(n_data=8)
+    params = init_align3r(jax.random.PRNGKey(0), CFG)
+    tx = make_optimizer(params, make_lr_schedule(1e-3, 1e-5, 0, 10, 10))
+    state = create_train_state(params, tx)
+    batch = make_batch(B=8)
+    repl, dsh = replicated(mesh), data_sharding(mesh)
+    state = jax.device_put(state, repl)
+    batch = jax.tree.map(lambda x: jax.device_put(x, dsh), batch)
+    step = jax.jit(make_train_step(tx, CFG, dtype=jnp.float32, remat=False),
+                   in_shardings=(repl, dsh), out_shardings=(repl, repl))
+    state2, metrics = step(state, batch)
+    assert np.isfinite(float(metrics["loss"]))
+    # gradient sync: sharded result equals single-device result
+    step1 = jax.jit(make_train_step(tx, CFG, dtype=jnp.float32, remat=False))
+    state1, metrics1 = step1(create_train_state(params, tx),
+                             jax.tree.map(lambda x: np.asarray(x), batch))
+    np.testing.assert_allclose(float(metrics["loss"]), float(metrics1["loss"]),
+                               rtol=1e-4)
