@@ -53,16 +53,35 @@ def _merge_heads(x):
     return x.transpose(0, 2, 1, 3).reshape(B, N, H * D)
 
 
+def _attend_with_rope(q, k, v, qpos, kpos, rope_base, attn_impl: str):
+    """Route to the Pallas fused RoPE-attention kernel when available, else
+    the pure-XLA path (rotate then softmax attention)."""
+    if attn_impl in ("auto", "pallas"):
+        from align3r_tpu.ops.flash_attention import (
+            flash_attention, rope2d_cos_sin, supported)
+        if attn_impl == "pallas" or supported(q, k, v):
+            D = q.shape[-1]
+            if rope_base is not None:
+                qc, qs = rope2d_cos_sin(qpos, D, rope_base, q.dtype)
+                if kpos is qpos:
+                    kc, ks = qc, qs
+                else:
+                    kc, ks = rope2d_cos_sin(kpos, D, rope_base, q.dtype)
+                return flash_attention(q, k, v, qc, qs, kc, ks)
+            return flash_attention(q, k, v)
+    if rope_base is not None:
+        q = apply_rope2d(q, qpos, rope_base)
+        k = apply_rope2d(k, kpos, rope_base)
+    return attention(q, k, v, impl="xla")
+
+
 def apply_attention(p, x, pos, num_heads: int, rope_base: float | None = 100.0,
                     attn_impl: str = "auto"):
     """Self-attention with RoPE2D on q, k. x: (B, N, C); pos: (B, N, 2)."""
     qkv = nn.dense(p["qkv"], x)
     q, k, v = jnp.split(qkv, 3, axis=-1)
     q, k, v = (_split_heads(t, num_heads) for t in (q, k, v))
-    if rope_base is not None:
-        q = apply_rope2d(q, pos, rope_base)
-        k = apply_rope2d(k, pos, rope_base)
-    out = attention(q, k, v, impl=attn_impl)
+    out = _attend_with_rope(q, k, v, pos, pos, rope_base, attn_impl)
     return nn.dense(p["proj"], _merge_heads(out))
 
 
@@ -81,10 +100,7 @@ def apply_cross_attention(p, query, key, value, qpos, kpos, num_heads: int,
     q = _split_heads(nn.dense(p["projq"], query), num_heads)
     k = _split_heads(nn.dense(p["projk"], key), num_heads)
     v = _split_heads(nn.dense(p["projv"], value), num_heads)
-    if rope_base is not None:
-        q = apply_rope2d(q, qpos, rope_base)
-        k = apply_rope2d(k, kpos, rope_base)
-    out = attention(q, k, v, impl=attn_impl)
+    out = _attend_with_rope(q, k, v, qpos, kpos, rope_base, attn_impl)
     return nn.dense(p["proj"], _merge_heads(out))
 
 
