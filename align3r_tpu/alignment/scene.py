@@ -54,6 +54,10 @@ class SceneConfig:
     translation_weight: float = 1.0
     flow_loss_weight: float = 0.0
     depth_regularize_weight: float = 0.0
+    flow_loss_start_epoch: float = 0.15
+    flow_loss_thre: float = 50.0
+    pxl_thre: float = 50.0
+    num_total_iter: int = 300
 
     @property
     def n_focals(self) -> int:
@@ -86,7 +90,10 @@ class SceneData:
     base_pp: jnp.ndarray               # (2,) = (W/2, H/2)
     mono_depths: Optional[jnp.ndarray] = None  # (n, A) frozen monocular depths
     im_conf: Optional[jnp.ndarray] = None      # (n, A) max conf per image pixel
-    dynamic_masks: Optional[jnp.ndarray] = None  # (n, A) 1=dynamic
+    dynamic_masks: Optional[jnp.ndarray] = None  # (n, H, W) 1=dynamic
+    flow_ij: Optional[jnp.ndarray] = None      # (E, H, W, 2) RAFT flow i->j
+    flow_ji: Optional[jnp.ndarray] = None      # (E, H, W, 2) RAFT flow j->i
+    init_depth: Optional[jnp.ndarray] = None   # (n, A) depths at init (regulariser)
 
 
 def build_scene(output: Dict, cfg_kw: Dict | None = None,
@@ -202,9 +209,25 @@ def depth_to_pts3d(params, data: SceneData, cfg: SceneConfig):
     return geotrf(get_im_poses(params), rel)
 
 
+def get_intrinsics(params, data: SceneData, cfg: SceneConfig):
+    """(n, 3, 3) K matrices (reference optimizer.py:153-160).
+
+    Built with stack (not .at[] scatters): scattered construction inside a
+    differentiated function compiles pathologically on the TPU backend.
+    """
+    f = get_focals(params, cfg)
+    pp = get_principal_points(params, data)
+    z = jnp.zeros_like(f)
+    o = jnp.ones_like(f)
+    row0 = jnp.stack([f, z, pp[:, 0]], -1)
+    row1 = jnp.stack([z, f, pp[:, 1]], -1)
+    row2 = jnp.stack([z, z, o], -1)
+    return jnp.stack([row0, row1, row2], -2)
+
+
 # ------------------------------------------------------------------- loss
 
-def pairwise_pts_loss(params, data: SceneData, cfg: SceneConfig):
+def pairwise_pts_loss(params, data: SceneData, cfg: SceneConfig, step=0):
     """The core per-edge L1 alignment loss (optimizer.py:223-241)."""
     pw = get_pw_poses(params, cfg)                           # (E, 4, 4)
     proj = depth_to_pts3d(params, data, cfg)                 # (n, A, 3)
@@ -226,16 +249,18 @@ def _alignment_scan(params, masks, data: SceneData, lrs, cfg: SceneConfig,
     adam = optax.scale_by_adam(b1=0.9, b2=0.9)   # Adam betas (0.9, 0.9), base_opt.py:437
     opt_state = adam.init(params)
 
-    def step(carry, lr):
+    def step(carry, lr_i):
         p, st = carry
-        loss, grads = jax.value_and_grad(loss_fn)(p, data, cfg)
+        lr, i = lr_i
+        loss, grads = jax.value_and_grad(loss_fn)(p, data, cfg, i)
         grads = jax.tree.map(lambda g, m: g * m, grads, masks)
         updates, st = adam.update(grads, st)
         updates = jax.tree.map(lambda u: -lr * u, updates)
         p = optax.apply_updates(p, updates)
         return (p, st), loss
 
-    (params, _), losses = jax.lax.scan(step, (params, opt_state), lrs)
+    steps = jnp.arange(lrs.shape[0])
+    (params, _), losses = jax.lax.scan(step, (params, opt_state), (lrs, steps))
     return params, losses
 
 

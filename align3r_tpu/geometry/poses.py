@@ -116,8 +116,11 @@ def sim3_vec_to_matrix(vec, norm_scale: bool = True, base_scale: float = 0.5):
 
 
 def relative_pose_error(RT1, RT2, translation_weight: float = 2.5):
-    """||R_rel - I||_F + w·||t_rel|| for batches of 4x4 poses (smoothing loss)."""
-    rel = jnp.matmul(jnp.linalg.inv(RT1), RT2)
+    """||R_rel - I||_F + w·||t_rel|| for batches of 4x4 rigid poses (smoothing
+    loss). Uses the closed-form rigid inverse — jnp.linalg.inv inside a
+    differentiated scan compiles pathologically slowly on TPU."""
+    from align3r_tpu.geometry.core import closed_form_pose_inverse
+    rel = jnp.matmul(closed_form_pose_inverse(RT1), RT2)
     from align3r_tpu.geometry.core import safe_norm
     rot = safe_norm(rel[..., :3, :3] - jnp.eye(3, dtype=RT1.dtype), axis=(-2, -1))
     trans = safe_norm(rel[..., :3, 3], axis=-1)
