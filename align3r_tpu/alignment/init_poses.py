@@ -48,7 +48,10 @@ def estimate_focal_weiszfeld(pts3d, pp=None, min_focal: float = 0.0,
         w = 1.0 / jnp.clip(dis, 1e-8)
         focal = (w * dot_xy_px).mean() / jnp.clip((w * dot_xy_xy).mean(), 1e-12)
     base = max(H, W) / (2 * np.tan(np.deg2rad(60) / 2))
-    return float(jnp.clip(focal, min_focal * base, max_focal * base))
+    # positive floor: degenerate pointmaps can yield focal <= 0, which would
+    # blow up the log-focal parameterisation downstream
+    lo = max(min_focal * base, 1e-4)
+    return float(jnp.clip(focal, lo, max_focal * base))
 
 
 def _srt_to_4x4(s, R, t):

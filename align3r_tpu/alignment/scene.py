@@ -281,8 +281,9 @@ def set_pose_vec(vec_arr, idx, T, scale=None):
 
 
 def set_focal(params, cfg: SceneConfig, idx, focal):
+    f = jnp.clip(jnp.asarray(focal, jnp.float32), 1e-4)
     return dict(params, im_focals=params["im_focals"].at[idx].set(
-        cfg.focal_break * jnp.log(jnp.asarray(focal, jnp.float32))))
+        cfg.focal_break * jnp.log(f)))
 
 
 def set_depthmap(params, idx, depth):

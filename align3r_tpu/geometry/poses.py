@@ -136,6 +136,11 @@ def rigid_points_registration(pts_a, pts_b, weights=None, compute_scaling: bool 
     """
     a = jnp.asarray(pts_a, jnp.float32).reshape(-1, 3)
     b = jnp.asarray(pts_b, jnp.float32).reshape(-1, 3)
+    # pre-scale by a common factor so the covariance/SVD stays in fp32 range
+    # even for degenerate inputs (R, s are invariant; t rescales back)
+    c = jnp.clip(jnp.maximum(jnp.abs(a).mean(), jnp.abs(b).mean()), 1.0)
+    a = a / c
+    b = b / c
     if weights is None:
         w = jnp.ones(a.shape[0], jnp.float32)
     else:
@@ -156,5 +161,5 @@ def rigid_points_registration(pts_a, pts_b, weights=None, compute_scaling: bool 
         s = (S * jnp.diag(D)).sum() / jnp.clip(var_a, 1e-12)
     else:
         s = jnp.asarray(1.0, jnp.float32)
-    t = mu_b - s * (R @ mu_a)
+    t = (mu_b - s * (R @ mu_a)) * c
     return R, t, s
