@@ -1,0 +1,156 @@
+"""Batched sampler + data loader.
+
+Behavioural reference: /root/reference/dust3r/datasets/utils/
+batched_sampler.py (BatchedRandomSampler:11-74: every batch shares one
+aspect-ratio index; epoch+seed-deterministic permutation; rank slicing for
+data parallelism) and dust3r/datasets/__init__.py (get_data_loader:20-54).
+
+The loader itself is a lightweight thread-prefetched iterator yielding
+numpy-stacked two-view batches ready for jax.device_put — no torch
+DataLoader dependency on the TPU path.
+"""
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Dict, Iterator, List, Optional
+
+import numpy as np
+
+
+class BatchedRandomSampler:
+    """Yields (idx, ar_idx) pairs; consecutive `batch_size` items share
+    ar_idx so a batch has one resolution."""
+
+    def __init__(self, dataset, batch_size, num_ar: int, world_size=1, rank=0,
+                 drop_last=True):
+        self.batch_size = batch_size
+        self.num_ar = num_ar
+        self.len_dataset = N = len(dataset)
+        self.total_size = ((N // batch_size) * batch_size if drop_last else N)
+        self.world_size = world_size
+        self.rank = rank
+        self.epoch = None
+
+    def __len__(self):
+        return self.total_size // self.world_size
+
+    def set_epoch(self, epoch):
+        self.epoch = epoch
+
+    def __iter__(self):
+        seed = 777 + (self.epoch or 0)
+        rng = np.random.default_rng(seed=seed)
+        idxs = rng.permutation(self.len_dataset)[: self.total_size]
+        n_batches = (self.total_size + self.batch_size - 1) // self.batch_size
+        ar = rng.integers(0, self.num_ar, size=n_batches)
+        ar = np.broadcast_to(ar[:, None], (n_batches, self.batch_size)) \
+            .ravel()[: self.total_size]
+        # rank slicing: contiguous per-rank chunks of each batch
+        idxs = idxs.reshape(-1, self.batch_size)
+        ar = ar.reshape(-1, self.batch_size)
+        per = self.batch_size // self.world_size
+        lo, hi = self.rank * per, (self.rank + 1) * per
+        for b in range(idxs.shape[0]):
+            for k in range(lo, hi if self.world_size > 1 else self.batch_size):
+                yield int(idxs[b, k]), int(ar[b, k])
+
+
+def collate_views(samples: List[List[Dict]]) -> Dict:
+    """List of [view1, view2] -> {'view1': stacked dict, 'view2': ...}."""
+    out = {}
+    for vi, name in enumerate(("view1", "view2")):
+        keys = samples[0][vi].keys()
+        view = {}
+        for k in keys:
+            vals = [s[vi][k] for s in samples]
+            if isinstance(vals[0], np.ndarray):
+                view[k] = np.stack(vals)
+            elif isinstance(vals[0], (int, float, np.integer, np.floating)):
+                view[k] = np.asarray(vals)
+            else:
+                view[k] = vals
+        out[name] = view
+    return out
+
+
+class DataLoader:
+    """Thread-prefetched loader: iterates sampler indices, fetches dataset
+    items in worker threads, collates into numpy batches."""
+
+    def __init__(self, dataset, batch_size: int, *, shuffle=True,
+                 num_workers: int = 4, world_size=1, rank=0, drop_last=True,
+                 prefetch: int = 4):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.per_rank = batch_size // world_size if world_size > 1 else batch_size
+        num_ar = len(getattr(dataset, "resolutions", [0]))
+        self.sampler = BatchedRandomSampler(dataset, batch_size, num_ar,
+                                            world_size, rank, drop_last) \
+            if shuffle else None
+        self.num_workers = max(num_workers, 1)
+        self.prefetch = prefetch
+        self.epoch = 0
+
+    def __len__(self):
+        if self.sampler is not None:
+            return len(self.sampler) // self.per_rank
+        return len(self.dataset) // self.per_rank
+
+    def set_epoch(self, epoch):
+        self.epoch = epoch
+        if hasattr(self.dataset, "set_epoch"):
+            self.dataset.set_epoch(epoch)
+        if self.sampler is not None:
+            self.sampler.set_epoch(epoch)
+
+    def _index_iter(self):
+        if self.sampler is not None:
+            yield from self.sampler
+        else:
+            for i in range(len(self.dataset)):
+                yield (i, 0)
+
+    def __iter__(self) -> Iterator[Dict]:
+        idx_iter = self._index_iter()
+        lock = threading.Lock()
+        out_q: "queue.Queue" = queue.Queue(maxsize=self.prefetch * self.per_rank)
+        stop = object()
+
+        def worker():
+            while True:
+                with lock:
+                    nxt = next(idx_iter, None)
+                if nxt is None:
+                    out_q.put(stop)
+                    return
+                out_q.put((nxt, self.dataset[nxt]))
+
+        threads = [threading.Thread(target=worker, daemon=True)
+                   for _ in range(self.num_workers)]
+        for t in threads:
+            t.start()
+
+        done = 0
+        buf = []
+        while done < self.num_workers:
+            item = out_q.get()
+            if item is stop:
+                done += 1
+                continue
+            buf.append(item[1])
+            if len(buf) == self.per_rank:
+                yield collate_views(buf)
+                buf = []
+
+
+def get_data_loader(dataset, batch_size, num_workers=4, shuffle=True,
+                    drop_last=True, world_size=1, rank=0):
+    """Reference-compatible entry (datasets/__init__.py:20-54); `dataset`
+    may be a dataset object or an eval()-style string expression."""
+    if isinstance(dataset, str):
+        from align3r_tpu.training.data import build_dataset
+        dataset = build_dataset(dataset)
+    return DataLoader(dataset, batch_size, shuffle=shuffle,
+                      num_workers=num_workers, world_size=world_size,
+                      rank=rank, drop_last=drop_last)

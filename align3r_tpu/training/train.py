@@ -1,0 +1,206 @@
+"""Training driver: epochs, eval, checkpointing, logging.
+
+Behavioural reference: /root/reference/dust3r/training.py (train:92-248,
+train_one_epoch:279-366, test_one_epoch:369-405) and croco/utils/misc.py
+(save/load auto-resume:292-329, per-iter LR:456-471).
+
+TPU rework: DDP -> data-parallel pjit over a Mesh (gradient psum inserted by
+XLA); AMP/NativeScaler -> bf16 forward with fp32 params (no loss scaling);
+checkpoints are orbax-style pytree dirs with torch-compatible export;
+logging is JSON-lines + optional TensorBoard; `--profile` wraps steps in a
+jax.profiler trace (replacing the reference's CUDA max-mem MetricLogger).
+"""
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+import time
+from typing import Optional
+
+import numpy as np
+
+
+@dataclasses.dataclass
+class TrainArgs:
+    model: str = "Align3RConfig()"            # config expression or ckpt path
+    pretrained: Optional[str] = None          # torch .pth to start from
+    train_dataset: str = ""
+    test_dataset: str = ""
+    seed: int = 0
+    batch_size: int = 2
+    accum_iter: int = 4
+    epochs: int = 50
+    start_epoch: int = 0
+    lr: float = 5e-5
+    min_lr: float = 1e-6
+    warmup_epochs: int = 5
+    weight_decay: float = 0.05
+    alpha: float = 0.2                        # ConfLoss alpha (train.sh:6)
+    num_workers: int = 8
+    output_dir: str = "./output"
+    eval_freq: int = 1
+    save_freq: int = 1
+    keep_freq: int = 5
+    print_freq: int = 20
+    n_data: Optional[int] = None              # data-parallel mesh size
+    profile: bool = False
+    max_steps_per_epoch: Optional[int] = None  # for smoke tests
+
+
+def save_checkpoint(path, state, epoch, best_so_far=None):
+    import jax
+    import pickle
+    os.makedirs(path, exist_ok=True)
+    flat = jax.tree.map(np.asarray, state.params)
+    opt = jax.tree.map(np.asarray, state.opt_state)
+    with open(os.path.join(path, "state.pkl"), "wb") as f:
+        pickle.dump({"params": flat, "opt_state": opt,
+                     "step": int(state.step), "epoch": epoch,
+                     "best_so_far": best_so_far}, f)
+
+
+def load_checkpoint(path):
+    import pickle
+    with open(os.path.join(path, "state.pkl"), "rb") as f:
+        return pickle.load(f)
+
+
+def export_torch_checkpoint(path, params, cfg):
+    """Torch-compatible .pth export (reference checkpoint format)."""
+    import torch
+    from align3r_tpu.models.convert import export_state_dict
+    sd = {k: torch.from_numpy(np.ascontiguousarray(v))
+          for k, v in export_state_dict(params, cfg).items()}
+    torch.save({"model": sd}, path)
+
+
+def train(args: TrainArgs):
+    import jax
+    import jax.numpy as jnp
+
+    from align3r_tpu.models.config import Align3RConfig, VIT_L_512, TINY_TEST, parse_model_string
+    from align3r_tpu.models.align3r import init_align3r
+    from align3r_tpu.parallel.mesh import make_mesh, data_sharding, replicated
+    from align3r_tpu.training.data import get_data_loader
+    from align3r_tpu.training.step import (
+        make_lr_schedule, make_optimizer, make_train_step, make_eval_step,
+        create_train_state, TrainState)
+
+    os.makedirs(args.output_dir, exist_ok=True)
+    log_path = os.path.join(args.output_dir, "log.txt")
+
+    # ---- model
+    if args.model.startswith("AsymmetricCroCo3DStereo"):
+        cfg = parse_model_string(args.model)
+    else:
+        cfg = eval(args.model, {"__builtins__": {}},
+                   {"Align3RConfig": Align3RConfig, "VIT_L_512": VIT_L_512,
+                    "TINY_TEST": TINY_TEST})
+    params = init_align3r(jax.random.PRNGKey(args.seed), cfg)
+    if args.pretrained:
+        from align3r_tpu.models.convert import load_torch_checkpoint
+        params, cfg = load_torch_checkpoint(args.pretrained, cfg)
+
+    # ---- data
+    train_loader = get_data_loader(args.train_dataset, args.batch_size,
+                                   num_workers=args.num_workers)
+    test_loader = (get_data_loader(args.test_dataset, args.batch_size,
+                                   num_workers=args.num_workers, shuffle=False)
+                   if args.test_dataset else None)
+    steps_per_epoch = max(len(train_loader), 1)
+
+    # ---- optimizer + sharded step
+    sched = make_lr_schedule(args.lr, args.min_lr, args.warmup_epochs,
+                             args.epochs, steps_per_epoch)
+    tx = make_optimizer(params, sched, weight_decay=args.weight_decay)
+    state = create_train_state(params, tx)
+
+    best_so_far = None
+    last = os.path.join(args.output_dir, "checkpoint-last")
+    if os.path.exists(os.path.join(last, "state.pkl")):  # auto-resume
+        ck = load_checkpoint(last)
+        state = TrainState(params=jax.tree.map(jnp.asarray, ck["params"]),
+                           opt_state=jax.tree.map(
+                               lambda x: jnp.asarray(x) if isinstance(x, np.ndarray) else x,
+                               ck["opt_state"]),
+                           step=jnp.asarray(ck["step"], jnp.int32))
+        args.start_epoch = ck["epoch"] + 1
+        best_so_far = ck.get("best_so_far")
+        print(f"resumed from {last} at epoch {args.start_epoch}")
+
+    mesh = make_mesh(n_data=args.n_data)
+    repl, dsh = replicated(mesh), data_sharding(mesh)
+    state = jax.device_put(state, repl)
+    train_step = jax.jit(make_train_step(tx, cfg, alpha=args.alpha),
+                         in_shardings=(repl, dsh), out_shardings=(repl, repl),
+                         donate_argnums=(0,))
+    eval_step = jax.jit(make_eval_step(cfg),
+                        in_shardings=(repl, dsh), out_shardings=repl)
+
+    def put_batch(batch):
+        keep = ("img", "pred_depth", "pts3d", "camera_pose", "valid_mask")
+        batch = {vn: {k: v for k, v in bv.items() if k in keep}
+                 for vn, bv in batch.items()}
+        return jax.tree.map(lambda x: jax.device_put(np.asarray(x), dsh), batch)
+
+    writer = None
+    try:
+        from torch.utils.tensorboard import SummaryWriter
+        writer = SummaryWriter(log_dir=args.output_dir)
+    except Exception:
+        pass
+
+    for epoch in range(args.start_epoch, args.epochs):
+        train_loader.set_epoch(epoch)
+        t0 = time.time()
+        losses = []
+        ctx = (jax.profiler.trace(os.path.join(args.output_dir, "profile"))
+               if args.profile and epoch == args.start_epoch else None)
+        if ctx:
+            ctx.__enter__()
+        for it, batch in enumerate(train_loader):
+            if args.max_steps_per_epoch and it >= args.max_steps_per_epoch:
+                break
+            state, metrics = train_step(state, put_batch(batch))
+            if it % args.print_freq == 0:
+                loss = float(metrics["loss"])
+                assert np.isfinite(loss), f"loss is {loss}, stopping training"
+                losses.append(loss)
+                print(f"epoch {epoch} it {it}/{steps_per_epoch} "
+                      f"loss {loss:.4f} lr {float(sched(state.step)):.2e}")
+                if writer:
+                    writer.add_scalar("train/loss", loss, int(state.step))
+        if ctx:
+            ctx.__exit__(None, None, None)
+
+        test_loss = None
+        if test_loader is not None and (epoch + 1) % args.eval_freq == 0:
+            test_loader.set_epoch(0)
+            vals = []
+            for it, batch in enumerate(test_loader):
+                if args.max_steps_per_epoch and it >= args.max_steps_per_epoch:
+                    break
+                vals.append(float(eval_step(state.params, put_batch(batch))))
+            test_loss = float(np.mean(vals)) if vals else None
+            if test_loss is not None and (best_so_far is None or test_loss < best_so_far):
+                best_so_far = test_loss
+                save_checkpoint(os.path.join(args.output_dir, "checkpoint-best"),
+                                state, epoch, best_so_far)
+
+        with open(log_path, "a") as f:
+            f.write(json.dumps({"epoch": epoch,
+                                "train_loss": float(np.mean(losses)) if losses else None,
+                                "test_loss": test_loss,
+                                "time_s": time.time() - t0}) + "\n")
+        if (epoch + 1) % args.save_freq == 0 or epoch + 1 == args.epochs:
+            save_checkpoint(last, state, epoch, best_so_far)
+        if (epoch + 1) % args.keep_freq == 0:
+            save_checkpoint(os.path.join(args.output_dir,
+                                         f"checkpoint-{epoch + 1}"),
+                            state, epoch, best_so_far)
+
+    # final torch-compat export (reference training.py:251-262)
+    export_torch_checkpoint(os.path.join(args.output_dir, "checkpoint-final.pth"),
+                            jax.tree.map(np.asarray, state.params), cfg)
+    return state
