@@ -61,10 +61,14 @@ def _interp_pos_embed(pos, h, w):
     return jnp.concatenate([cls_pos, grid.reshape(1, h * w, -1)], axis=1)
 
 
-def dinov2_forward(p, pixel_values, cfg: DAConfig):
-    """pixel_values: (B, H, W, 3) normalised. Returns list of hidden states
-    (B, 1+N, C) at cfg.out_indices, each with the final backbone layernorm
-    applied (Dinov2Backbone.forward, apply_layernorm=True)."""
+def dinov2_hidden_states(p, pixel_values, cfg, collect=None):
+    """DINOv2 trunk. pixel_values: (B, H, W, 3) normalised.
+
+    Returns ({layer_index: hidden_state (B, 1+N, C)}, (ph, pw)) — index 0 is
+    the embedding output, index L the last layer output, all WITHOUT the
+    final layernorm (HF Dinov2 hidden_states convention). `collect` limits
+    which indices are kept (None = all).
+    """
     B, H, W, _ = pixel_values.shape
     ph, pw = H // cfg.patch_size, W // cfg.patch_size
     x = nn.conv2d(p["patch_embed"], pixel_values, stride=cfg.patch_size,
@@ -74,7 +78,10 @@ def dinov2_forward(p, pixel_values, cfg: DAConfig):
     x = jnp.concatenate([cls, x], axis=1)
     x = x + _interp_pos_embed(p["pos_embed"], ph, pw).astype(x.dtype)
 
-    collected = {0: x}
+    keep = set(range(cfg.num_layers + 1)) if collect is None else set(collect)
+    collected = {}
+    if 0 in keep:
+        collected[0] = x
     for li in range(cfg.num_layers):
         blk = jax.tree.map(lambda a: a[li], p["layers"])
         h = nn.layernorm(blk["norm1"], x, eps=cfg.layer_norm_eps)
@@ -91,12 +98,18 @@ def dinov2_forward(p, pixel_values, cfg: DAConfig):
         h = nn.layernorm(blk["norm2"], x, eps=cfg.layer_norm_eps)
         h = nn.dense(blk["fc2"], nn.gelu(nn.dense(blk["fc1"], h)))
         x = x + h * blk["ls2"].astype(x.dtype)
-        collected[li + 1] = x
+        if li + 1 in keep:
+            collected[li + 1] = x
+    return collected, (ph, pw)
 
-    out = []
-    for idx in cfg.out_indices:
-        out.append(nn.layernorm(p["final_norm"], collected[idx],
-                                eps=cfg.layer_norm_eps))
+
+def dinov2_forward(p, pixel_values, cfg: DAConfig):
+    """Backbone mode: hidden states at cfg.out_indices with the final
+    layernorm applied (Dinov2Backbone.forward, apply_layernorm=True)."""
+    collected, (ph, pw) = dinov2_hidden_states(p, pixel_values, cfg,
+                                               collect=cfg.out_indices)
+    out = [nn.layernorm(p["final_norm"], collected[i], eps=cfg.layer_norm_eps)
+           for i in cfg.out_indices]
     return out, (ph, pw)
 
 
@@ -171,8 +184,10 @@ def _c2d(sd, name):
 
 
 def _ct2d(sd, name):
-    return {"kernel": np.asarray(sd[f"{name}.weight"]).transpose(0, 2, 3, 1),
-            "bias": np.asarray(sd[f"{name}.bias"])}
+    p = {"kernel": np.asarray(sd[f"{name}.weight"]).transpose(0, 2, 3, 1)}
+    if f"{name}.bias" in sd:
+        p["bias"] = np.asarray(sd[f"{name}.bias"])
+    return p
 
 
 def _lin(sd, name):

@@ -41,10 +41,28 @@ def main():
         params, cfg = load_hf_depth_anything(args.model_path)
         fwd = jax.jit(lambda x: depth_anything_forward(params, x, cfg))
         focal = 200.0  # pseudo-focal for relative depth (image_pose.py:300-302)
-    else:
-        raise NotImplementedError(
-            "depthpro prior generation lands with the Depth Pro JAX port; "
-            "use depthanything or precomputed npz caches meanwhile")
+    else:  # depthpro: metric depth + per-image focal estimate
+        from align3r_tpu.models.depth_pro import (
+            load_hf_depth_pro, depth_pro_forward, postprocess_depth)
+        dp_path = (args.model_path if args.model_path and
+                   "Depth-Anything" not in args.model_path else "apple/DepthPro-hf")
+        dp_params, dp_cfg = load_hf_depth_pro(dp_path)
+        S = dp_cfg.image_size
+
+        def _fwd(x01):
+            x = jax.image.resize(x01, (x01.shape[0], S, S, 3), "bilinear")
+            x = (x - 0.5) / 0.5
+            inv_depth, fov = depth_pro_forward(dp_params, x, dp_cfg)
+            return postprocess_depth(inv_depth, fov, S)
+        fwd_dp = jax.jit(_fwd)
+        preprocess = lambda b, cfg=None: jnp.asarray(b)  # noqa: E731
+        cfg = None
+
+        def fwd(x):
+            depth, focal_px = fwd_dp(x)
+            fwd.last_focal = focal_px
+            return depth
+        focal = None
 
     for s in range(0, len(frames), args.batch_size):
         chunk = frames[s:s + args.batch_size]
@@ -61,15 +79,20 @@ def main():
                               np.float32) / 255.0 for i in imgs])
         x = preprocess(batch, cfg)
         depth = np.asarray(fwd(x))
+        focals = getattr(fwd, "last_focal", None)
         for k, f in enumerate(chunk):
             W, H = sizes[k]
             d = np.asarray(jax.image.resize(jnp.asarray(depth[k]), (H, W),
                                             "bilinear"))
+            if focal is not None:
+                f_px = focal
+            else:  # depthpro: scale the square-input focal to this width
+                f_px = float(np.asarray(focals)[k]) * W / depth.shape[-1]
             out = os.path.join(
                 args.input_dir,
                 os.path.splitext(f)[0] + f"_pred_depth_{args.depth_prior_name}.npz")
             np.savez(out, depth=d.astype(np.float32),
-                     focallength_px=np.float32(focal))
+                     focallength_px=np.float32(f_px))
             print("wrote", out)
 
 
