@@ -1,0 +1,74 @@
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from align3r_tpu.alignment.clean import clean_pointcloud
+from align3r_tpu.eval.viz import (write_ply, pts3d_to_mesh, SceneViz,
+                                  camera_frustum)
+
+
+def test_clean_pointcloud_suppresses_occluders():
+    """Two cameras at identity looking at the same plane: view 0 has a bogus
+    near point with LOW confidence; view 1 sees the true far surface with
+    HIGH confidence -> view 0's bogus point gets clamped."""
+    n, H, W = 2, 8, 10
+    f = 20.0
+    K = jnp.broadcast_to(jnp.asarray([[f, 0, W / 2], [0, f, H / 2], [0, 0, 1]]),
+                         (n, 3, 3))
+    cams = jnp.broadcast_to(jnp.eye(4), (n, 4, 4))  # world2cam = I
+    depth = jnp.full((n, H, W), 5.0)
+    # world points on the z=5 plane for both views
+    ys, xs = np.meshgrid(np.arange(H), np.arange(W), indexing="ij")
+    z = np.full((H, W), 5.0, np.float32)
+    pts = np.stack([(xs - W / 2) * z / f, (ys - H / 2) * z / f, z], -1)
+    all_pts = np.broadcast_to(pts, (n, H, W, 3)).copy()
+    # view 0, pixel (4, 5): bogus point at z=2 (in front of view 1's surface)
+    bad = pts[4, 5] * (2.0 / 5.0)
+    all_pts[0, 4, 5] = bad
+    depth = depth.at[0, 4, 5].set(2.0)
+    conf = np.full((n, H, W), 2.0, np.float32)
+    conf[0, 4, 5] = 1.0   # less confident than view 1's 2.0
+    out = np.asarray(clean_pointcloud(jnp.asarray(conf), K, cams,
+                                      depth, jnp.asarray(all_pts)))
+    assert out[0, 4, 5] == 0.0          # suppressed
+    assert (out[1] == 2.0).all()        # view 1 untouched
+    assert out[0, 0, 0] == 2.0          # consistent points untouched
+
+
+def test_write_ply_roundtrip(tmp_path):
+    pts = np.random.default_rng(0).standard_normal((100, 3)).astype(np.float32)
+    cols = np.random.default_rng(1).integers(0, 255, (100, 3)).astype(np.uint8)
+    p = tmp_path / "x.ply"
+    write_ply(p, pts, cols)
+    data = p.read_bytes()
+    header_end = data.index(b"end_header\n") + len(b"end_header\n")
+    assert b"element vertex 100" in data[:header_end]
+    body = np.frombuffer(data[header_end:],
+                         dtype=[("xyz", np.float32, 3), ("rgb", np.uint8, 3)])
+    np.testing.assert_allclose(body["xyz"], pts)
+    np.testing.assert_array_equal(body["rgb"], cols)
+
+
+def test_pts3d_to_mesh_and_scene(tmp_path):
+    H, W = 6, 8
+    pts = np.random.default_rng(2).standard_normal((H, W, 3)).astype(np.float32)
+    img = np.random.default_rng(3).uniform(0, 1, (H, W, 3)).astype(np.float32)
+    valid = np.ones((H, W), bool)
+    valid[0, 0] = False
+    v, c, faces = pts3d_to_mesh(pts, img, valid)
+    assert v.shape == (48, 3) and len(faces) < 2 * (H - 1) * (W - 1)
+    write_ply(tmp_path / "mesh.ply", v, c, faces)
+
+    viz = SceneViz()
+    viz.add_pointcloud(pts, img, mask=valid)
+    viz.add_camera(np.eye(4), focal=100.0)
+    out = viz.show(str(tmp_path / "scene.ply"))
+    assert (tmp_path / "scene.ply").exists()
+
+
+def test_camera_frustum_geometry():
+    pose = np.eye(4)
+    pose[:3, 3] = [1, 2, 3]
+    pts, edges = camera_frustum(pose, focal=100.0, cam_size=0.1)
+    np.testing.assert_allclose(pts[0], [1, 2, 3])  # apex at camera centre
+    assert len(edges) == 8
