@@ -1,0 +1,188 @@
+"""Reference-compatible API surface (drop-in style entry points).
+
+BASELINE.md requires the public entry points (`dust3r.inference`,
+`make_pairs`, `global_aligner`, `load_model`) to keep their reference
+signatures so users of the reference can switch frameworks without
+rewriting call sites. This module adapts those surfaces onto the TPU-native
+engine (view-dict pairs in, prediction dicts out).
+
+Reference signatures: dust3r/inference.py:55-78, dust3r/image_pairs.py:11,
+dust3r/cloud_opt/__init__.py:26-40, dust3r/model.py:27-43.
+"""
+from __future__ import annotations
+
+from typing import Dict, List, Sequence, Tuple
+
+import numpy as np
+import jax.numpy as jnp
+
+
+class Align3RModel:
+    """Bundles (params, cfg) like the reference's model object."""
+
+    def __init__(self, params, cfg):
+        self.params = params
+        self.cfg = cfg
+
+    @classmethod
+    def from_pretrained(cls, path_or_name):
+        from align3r_tpu.models.convert import load_torch_checkpoint
+        params, cfg = load_torch_checkpoint(path_or_name)
+        return cls(params, cfg)
+
+    def to(self, device=None):  # device placement is jax-managed; no-op
+        return self
+
+
+def load_model(model_path: str, device=None, verbose: bool = True) -> Align3RModel:
+    """Reference dust3r.model.load_model signature."""
+    if verbose:
+        print("... loading model from", model_path)
+    return Align3RModel.from_pretrained(model_path)
+
+
+def make_pairs(imgs: Sequence[Dict], scene_graph="complete", prefilter=None,
+               symmetrize=True) -> List[Tuple[Dict, Dict]]:
+    """Reference signature: list of view dicts in, list of dict pairs out."""
+    from align3r_tpu.inference.pairs import make_pairs as _mp
+    idx_pairs = _mp(len(imgs), scene_graph, prefilter, symmetrize)
+    return [(imgs[i], imgs[j]) for i, j in idx_pairs]
+
+
+def inference(pairs: Sequence[Tuple[Dict, Dict]], model: Align3RModel,
+              device=None, batch_size: int = 8, verbose: bool = True) -> Dict:
+    """Reference dust3r.inference signature over view-dict pairs.
+
+    Each view dict needs 'img' (1, H, W, 3) or (1, 3, H, W) in [-1, 1],
+    'pred_depth' (1, H, W, 3) and 'idx'. Returns the reference output
+    contract {view1, view2, pred1, pred2} (numpy, channel-last).
+    """
+    from align3r_tpu.inference.engine import inference as _inf
+
+    # collect unique views by idx
+    views: Dict[int, Dict] = {}
+    idx_pairs = []
+    for v1, v2 in pairs:
+        views[int(v1["idx"])] = v1
+        views[int(v2["idx"])] = v2
+        idx_pairs.append((int(v1["idx"]), int(v2["idx"])))
+    order = sorted(views)
+    remap = {k: i for i, k in enumerate(order)}
+    idx_pairs = [(remap[i], remap[j]) for i, j in idx_pairs]
+
+    def img_of(v):
+        img = np.asarray(v["img"])
+        if img.ndim == 4 and img.shape[1] == 3 and img.shape[-1] != 3:
+            img = img.transpose(0, 2, 3, 1)  # NCHW -> NHWC
+        return img[0]
+
+    imgs = np.stack([img_of(views[k]) for k in order])
+    priors = np.stack([np.asarray(views[k]["pred_depth"])[0] for k in order])
+    out = _inf(idx_pairs, model.params, model.cfg, jnp.asarray(imgs),
+               jnp.asarray(priors), batch_size=batch_size)
+    # restore original view indices
+    inv = {i: k for k, i in remap.items()}
+    out["view1"]["idx"] = np.asarray([inv[i] for i in np.asarray(out["view1"]["idx"])])
+    out["view2"]["idx"] = np.asarray([inv[i] for i in np.asarray(out["view2"]["idx"])])
+    return out
+
+
+class GlobalAlignerMode:
+    PointCloudOptimizer = "PointCloudOptimizer"
+    ModularPointCloudOptimizer = "ModularPointCloudOptimizer"
+    PairViewer = "PairViewer"
+
+
+class _SceneWrapper:
+    """Reference-scene-like facade over (cfg, data, params) + solve."""
+
+    def __init__(self, output, mode, device=None, variant="flow", **kwargs):
+        from align3r_tpu.alignment.scene import build_scene
+        self._output = output
+        self._variant = variant
+        mono = kwargs.pop("mono_depths", None)
+        if kwargs.pop("if_use_mono", False) and mono is not None:
+            mono = np.stack([np.asarray(m).reshape(-1) for m in mono])
+        else:
+            mono = None
+        known = {"shared_focal", "temporal_smoothing_weight", "translation_weight",
+                 "flow_loss_weight", "depth_regularize_weight", "min_conf_thr",
+                 "optimize_pp", "conf", "base_scale", "pw_break", "focal_break",
+                 "flow_loss_start_epoch", "flow_loss_thre", "num_total_iter"}
+        cfg_kw = {k: v for k, v in kwargs.items() if k in known}
+        self.cfg, self.data, self.params = build_scene(output, cfg_kw=cfg_kw,
+                                                       mono_depths=mono)
+        self._mode = mode
+
+    def compute_global_alignment(self, init=None, niter=300, schedule="cosine",
+                                 lr=0.01, init_priors=None, **kw):
+        from align3r_tpu.alignment.scene import (default_masks,
+                                                 global_alignment_loop,
+                                                 pairwise_pts_loss)
+        from align3r_tpu.alignment.flow import flow_forward
+        from align3r_tpu.alignment.init_poses import mst_init
+        if init in ("mst", "msp"):
+            self.params = mst_init(self.params, self.data, self.cfg,
+                                   np.asarray(self._output["pred1"]["conf"]),
+                                   np.asarray(self._output["pred2"]["conf"]),
+                                   init_priors=init_priors)
+        masks = default_masks(self.cfg, self.params)
+        loss_fn = flow_forward if self._variant == "flow" else pairwise_pts_loss
+        self.params, losses = global_alignment_loop(
+            self.params, masks, self.data, self.cfg, lr=lr, niter=niter,
+            schedule=schedule, loss_fn=loss_fn)
+        return float(np.asarray(losses)[-1])
+
+    # ----- getters matching the reference scene API
+    def get_im_poses(self):
+        from align3r_tpu.alignment.scene import get_im_poses
+        return np.asarray(get_im_poses(self.params))
+
+    def get_depthmaps(self, raw=False):
+        from align3r_tpu.alignment.scene import get_depthmaps_raw
+        H, W = self.cfg.imshape
+        d = np.asarray(get_depthmaps_raw(self.params, self.data, self.cfg))
+        return d if raw else list(d.reshape(self.cfg.n_imgs, H, W))
+
+    def get_pts3d(self, raw=False):
+        from align3r_tpu.alignment.scene import depth_to_pts3d
+        H, W = self.cfg.imshape
+        p = np.asarray(depth_to_pts3d(self.params, self.data, self.cfg))
+        return p if raw else list(p.reshape(self.cfg.n_imgs, H, W, 3))
+
+    def get_focals(self):
+        from align3r_tpu.alignment.scene import get_focals
+        return np.asarray(get_focals(self.params, self.cfg))
+
+    def get_intrinsics(self):
+        from align3r_tpu.alignment.scene import get_intrinsics
+        return np.asarray(get_intrinsics(self.params, self.data, self.cfg))
+
+    def get_masks(self):
+        H, W = self.cfg.imshape
+        conf = np.asarray(self.data.im_conf).reshape(self.cfg.n_imgs, H, W)
+        return [c > self.cfg.min_conf_thr for c in conf]
+
+    def clean_pointcloud(self, **kw):
+        from align3r_tpu.alignment.clean import clean_pointcloud
+        import jax.numpy as jnp
+        from align3r_tpu.geometry.core import closed_form_pose_inverse
+        H, W = self.cfg.imshape
+        conf = jnp.asarray(self.data.im_conf).reshape(self.cfg.n_imgs, H, W)
+        poses = jnp.asarray(self.get_im_poses())
+        new = clean_pointcloud(conf, jnp.asarray(self.get_intrinsics()),
+                               closed_form_pose_inverse(poses),
+                               jnp.asarray(np.stack(self.get_depthmaps())),
+                               jnp.asarray(np.stack(self.get_pts3d())), **kw)
+        import dataclasses
+        self.data = dataclasses.replace(
+            self.data, im_conf=jnp.asarray(new).reshape(self.cfg.n_imgs, -1))
+        return self
+
+
+def global_aligner(dust3r_output, device=None,
+                   mode=GlobalAlignerMode.PointCloudOptimizer, **kwargs):
+    """Reference cloud_opt factory signature."""
+    variant = "prior" if kwargs.pop("if_use_mono_env", False) else \
+        kwargs.pop("variant", "flow")
+    return _SceneWrapper(dust3r_output, mode, device, variant=variant, **kwargs)

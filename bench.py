@@ -17,6 +17,8 @@ from __future__ import annotations
 import json
 import time
 
+import numpy as np
+
 A100_REFERENCE_PAIRS_PER_SEC = 8.0  # documented estimate, see module docstring
 
 N_FRAMES = 24
@@ -40,8 +42,6 @@ def main():
     priors = jax.random.uniform(jax.random.PRNGKey(2), (N_FRAMES, H, W, 3))
     pairs = make_pairs(N_FRAMES, "swinstride-5-noncyclic", symmetrize=True)
 
-    import numpy as np
-
     def run():
         out = inference(pairs, params, cfg, imgs, priors, batch_size=BATCH)
         # force full execution: on the axon tunnel platform block_until_ready
@@ -57,12 +57,49 @@ def main():
     dt = (time.perf_counter() - t0) / n_rep
     pairs_per_sec = len(pairs) / dt
 
+    align_ips = _bench_alignment()
+
     print(json.dumps({
         "metric": "image pairs/sec/chip (ViT-L 512x288, swinstride-5 graph)",
         "value": round(pairs_per_sec, 3),
         "unit": "pairs/s",
         "vs_baseline": round(pairs_per_sec / A100_REFERENCE_PAIRS_PER_SEC, 3),
+        "alignment_iters_per_sec": round(align_ips, 1),
     }))
+
+
+def _bench_alignment():
+    """Secondary metric: global-alignment Adam iters/sec (300-iter solve,
+    24 frames @ 512x288, swinstride-5 graph — reference hot loop #2)."""
+    import jax
+    import jax.numpy as jnp
+
+    from align3r_tpu.alignment.scene import (build_scene, default_masks,
+                                             global_alignment_loop)
+    from align3r_tpu.inference.pairs import make_pairs
+
+    n, H, W = N_FRAMES, 288, 512
+    pairs = make_pairs(n, "swinstride-5-noncyclic", symmetrize=True)
+    E = len(pairs)
+    key = jax.random.PRNGKey(0)
+    output = {
+        "view1": {"idx": np.array([p[0] for p in pairs])},
+        "view2": {"idx": np.array([p[1] for p in pairs])},
+        "pred1": {"pts3d": jax.random.normal(key, (E, H, W, 3)),
+                  "conf": 1 + jax.random.uniform(key, (E, H, W))},
+        "pred2": {"pts3d_in_other_view": jax.random.normal(key, (E, H, W, 3)),
+                  "conf": 1 + jax.random.uniform(key, (E, H, W))},
+    }
+    cfg, data, params = build_scene(output)
+    masks = default_masks(cfg, params)
+    p2, losses = global_alignment_loop(params, masks, data, cfg,
+                                       lr=0.01, niter=300)
+    np.asarray(losses)  # compile + run
+    t0 = time.perf_counter()
+    p2, losses = global_alignment_loop(params, masks, data, cfg,
+                                       lr=0.01, niter=300)
+    np.asarray(losses)
+    return 300 / (time.perf_counter() - t0)
 
 
 if __name__ == "__main__":

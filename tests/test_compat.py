@@ -1,0 +1,62 @@
+"""Reference-style API surface: load_model / make_pairs / inference /
+global_aligner keep their call shapes (BASELINE.md contract)."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from align3r_tpu.models.config import TINY_TEST
+from align3r_tpu.models.align3r import init_align3r
+from align3r_tpu import compat
+
+
+@pytest.fixture(scope="module")
+def model():
+    params = init_align3r(jax.random.PRNGKey(0), TINY_TEST)
+    for h in ("head1", "head2"):
+        hc = dict(params[h])
+        hc["head_conv3"] = {"kernel": params[h]["head_conv3"]["kernel"] * 0.01,
+                            "bias": params[h]["head_conv3"]["bias"] * 0.0}
+        params = dict(params, **{h: hc})
+    return compat.Align3RModel(params, TINY_TEST)
+
+
+def make_views(n=3, H=32, W=48, seed=0):
+    rng = np.random.default_rng(seed)
+    return [dict(img=rng.standard_normal((1, H, W, 3)).astype(np.float32) * 0.2,
+                 pred_depth=rng.uniform(0, 1, (1, H, W, 3)).astype(np.float32),
+                 true_shape=np.int32([[H, W]]), idx=i, instance=str(i))
+            for i in range(n)]
+
+
+def test_reference_style_pipeline(model, tmp_path):
+    imgs = make_views()
+    pairs = compat.make_pairs(imgs, scene_graph="complete", symmetrize=True)
+    assert isinstance(pairs[0], tuple) and "img" in pairs[0][0]
+    output = compat.inference(pairs, model, device=None, batch_size=4)
+    E = len(pairs)
+    assert output["pred1"]["pts3d"].shape[0] == E
+    assert set(np.asarray(output["view1"]["idx"])) == {0, 1, 2}
+
+    scene = compat.global_aligner(output, device=None,
+                                  mode=compat.GlobalAlignerMode.PointCloudOptimizer,
+                                  variant="prior", min_conf_thr=1.1)
+    loss = scene.compute_global_alignment(init="mst", niter=20, schedule="cosine",
+                                          lr=0.05)
+    assert np.isfinite(loss)
+    poses = scene.get_im_poses()
+    assert poses.shape == (3, 4, 4)
+    assert len(scene.get_depthmaps()) == 3
+    assert len(scene.get_pts3d()) == 3
+    assert scene.get_intrinsics().shape == (3, 3, 3)
+    assert len(scene.get_masks()) == 3
+    scene.clean_pointcloud()
+
+
+def test_nchw_images_accepted(model):
+    imgs = make_views()
+    for v in imgs:
+        v["img"] = v["img"].transpose(0, 3, 1, 2)  # reference NCHW layout
+    pairs = compat.make_pairs(imgs, "complete", symmetrize=False)
+    out = compat.inference(pairs, model, batch_size=4)
+    assert np.isfinite(np.asarray(out["pred1"]["pts3d"])).all()
