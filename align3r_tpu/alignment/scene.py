@@ -290,3 +290,34 @@ def set_depthmap(params, idx, depth):
     """depth: (A,) for scalar idx, or (len(idx), A) for index arrays."""
     logd = jnp.log(jnp.clip(jnp.asarray(depth, jnp.float32), 1e-8))
     return dict(params, im_depthmaps=params["im_depthmaps"].at[idx].set(logd))
+
+
+# ------------------------------------------- preset / freeze (known values)
+
+def preset_pose(params, masks, idx, poses_c2w):
+    """Set known cam2world poses and freeze them (reference optimizer.py
+    preset_pose:79-96; row-level mask freeze replaces requires_grad_)."""
+    vecs = matrix_to_pose_vec(jnp.asarray(poses_c2w, jnp.float32))
+    params = dict(params, im_poses=params["im_poses"].at[idx].set(vecs))
+    masks = dict(masks, im_poses=masks["im_poses"].at[idx].set(0.0))
+    return params, masks
+
+
+def preset_focal(params, masks, cfg: SceneConfig, idx, focals):
+    params = set_focal(params, cfg, idx, focals)
+    masks = dict(masks, im_focals=masks["im_focals"].at[idx].set(0.0))
+    return params, masks
+
+
+def preset_principal_point(params, masks, data: SceneData, idx, pps):
+    v = (jnp.asarray(pps, jnp.float32) - data.base_pp) / 10.0
+    params = dict(params, im_pp=params["im_pp"].at[idx].set(v))
+    masks = dict(masks, im_pp=masks["im_pp"].at[idx].set(0.0))
+    return params, masks
+
+
+def preset_depthmap(params, masks, idx, depths):
+    """Known depths (reference flow optimizer preset_depthmap:438-450)."""
+    params = set_depthmap(params, idx, depths)
+    masks = dict(masks, im_depthmaps=masks["im_depthmaps"].at[idx].set(0.0))
+    return params, masks

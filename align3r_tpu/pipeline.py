@@ -112,6 +112,22 @@ class SceneResult:
                       os.path.join(out_dir, f"dynamic_mask_{i + start}.png"))
         return masks
 
+    def mask_sky(self):
+        """Zero confidence on HSV-heuristic sky pixels (reference
+        base_opt.py:388-392 + viz.segment_sky). Returns new im_conf."""
+        import dataclasses as _dc
+        import jax.numpy as jnp
+        from align3r_tpu.eval.viz import segment_sky
+        assert self.imgs is not None
+        H, W = self.cfg.imshape
+        conf = np.asarray(self.data.im_conf).reshape(self.cfg.n_imgs, H, W).copy()
+        for i in range(self.cfg.n_imgs):
+            sky = segment_sky(self.imgs[i] * 0.5 + 0.5)
+            conf[i][sky] = 0
+        self.data = _dc.replace(self.data,
+                                im_conf=jnp.asarray(conf.reshape(self.cfg.n_imgs, -1)))
+        return conf
+
     def save_rgb_imgs(self, out_dir, start: int = 0):
         os.makedirs(out_dir, exist_ok=True)
         if self.imgs is None:

@@ -126,3 +126,72 @@ def regr3d_scale_shift_inv_loss(gt1, gt2, pred1, pred2, gt_scale: bool = True):
 
     loss = _masked_mean(l21(pr1, gt_pts1), m1) + _masked_mean(l21(pr2, gt_pts2), m2)
     return loss
+
+
+def weighted_l21(a, b, z, weight_scale: float = 10.0):
+    """1/z-weighted Euclidean distance (reference WeightedL21Loss,
+    losses.py:53-88; unused by the default training recipe)."""
+    w = jnp.clip(1.0 / (z + 1e-8), 0.0, 1.0)
+    return weight_scale * safe_norm(a - b, axis=-1) * w
+
+
+def find_opt_scaling(gt_pts1, gt_pts2, pr_pts1, pr_pts2=None,
+                     fit_mode="weiszfeld_stop_grad", valid1=None, valid2=None):
+    """Optimal gt->pred scale per batch element (reference
+    dust3r/inference.py:106-150): closed-form L2 init then Weiszfeld IRLS.
+
+    pts: (B, H, W, 3); valid: (B, H, W) bool. Returns (B,) scalings.
+    """
+    B = gt_pts1.shape[0]
+
+    def flat(p, v):
+        p = p.reshape(B, -1, 3)
+        if v is None:
+            m = jnp.ones(p.shape[:2], p.dtype)
+        else:
+            m = v.reshape(B, -1).astype(p.dtype)
+        return p * m[..., None], m
+
+    g1, m1 = flat(gt_pts1, valid1)
+    p1, _ = flat(pr_pts1, valid1)
+    if gt_pts2 is not None:
+        g2, m2 = flat(gt_pts2, valid2)
+        p2, _ = flat(pr_pts2, valid2)
+        gt = jnp.concatenate([g1, g2], axis=1)
+        pr = jnp.concatenate([p1, p2], axis=1)
+        m = jnp.concatenate([m1, m2], axis=1)
+    else:
+        gt, pr, m = g1, p1, m1
+
+    dot_gt_pr = (pr * gt).sum(-1)
+    dot_gt_gt = (gt * gt).sum(-1)
+    nnz = jnp.clip(m.sum(1), 1.0)
+    scaling = dot_gt_pr.sum(1) / jnp.clip(dot_gt_gt.sum(1), 1e-12)
+    if fit_mode.startswith("weiszfeld"):
+        for _ in range(10):
+            dis = safe_norm(pr - scaling[:, None, None] * gt, axis=-1)
+            w = m / jnp.clip(dis, 1e-8)
+            scaling = (w * dot_gt_pr).sum(1) / jnp.clip((w * dot_gt_gt).sum(1), 1e-12)
+    elif fit_mode.startswith("median"):
+        ratio = jnp.where(m > 0, dot_gt_pr / jnp.clip(dot_gt_gt, 1e-12), jnp.nan)
+        scaling = jnp.nanmedian(ratio, axis=1)
+    if fit_mode.endswith("stop_grad"):
+        scaling = jax.lax.stop_gradient(scaling)
+    return jnp.clip(scaling, 1e-3)
+
+
+def get_pred_pts3d(gt, pred, use_pose: bool = False):
+    """Dispatch prediction dict -> pts3d (reference inference.py:81-103)."""
+    if "depth" in pred and "pseudo_focal" in pred:
+        from align3r_tpu.geometry import depthmap_to_pts3d
+        pp = gt.get("camera_intrinsics")
+        pp = pp[..., :2, 2] if pp is not None else None
+        pts3d = depthmap_to_pts3d(pred["depth"], pred["pseudo_focal"], pp=pp)
+    elif "pts3d" in pred:
+        pts3d = pred["pts3d"]
+    elif "pts3d_in_other_view" in pred:
+        assert use_pose
+        return pred["pts3d_in_other_view"]
+    if use_pose:
+        pts3d = geotrf(pred["camera_pose"], pts3d)
+    return pts3d

@@ -101,3 +101,40 @@ def test_reconstruct_flow_variant_with_raft(tiny_setup):
     assert scene.dynamic_masks.shape == (4, 32, 48)
     assert np.isfinite(scene.losses).all()
     assert scene.params["im_focals"].shape == (1,)  # shared focal
+
+
+def test_reconstruct_hierarchical(tiny_setup):
+    """Keyframe coarse solve + anchored per-clip solves cover every frame."""
+    from align3r_tpu.pipeline import reconstruct_scene_hierarchical
+    cfg, params, imgs, priors = tiny_setup
+    # extend to 7 frames so clip_size=3 gives 3 clips
+    rng = np.random.default_rng(9)
+    imgs7 = np.concatenate([imgs, imgs[:3]])
+    priors7 = np.concatenate([priors, priors[:3]])
+    results, poses, depths = reconstruct_scene_hierarchical(
+        imgs7, priors7, params, cfg, clip_size=3, coarse_niter=10, niter=10,
+        variant="prior", batch_size=4, lr=0.05)
+    assert poses.shape == (7, 4, 4)
+    assert depths.shape == (7, 32, 48)
+    assert np.isfinite(poses).all() and np.isfinite(depths).all()
+    # every frame got a real pose (not left at zero)
+    assert (np.abs(poses).sum(axis=(1, 2)) > 0).all()
+
+
+def test_preset_helpers():
+    from align3r_tpu.alignment.scene import (
+        init_params, default_masks, SceneConfig, preset_pose, preset_focal)
+    cfg = SceneConfig(imshape=(8, 10), n_imgs=3, n_edges=4)
+    params = init_params(cfg)
+    masks = default_masks(cfg, params)
+    T = np.eye(4, dtype=np.float32)[None].repeat(2, 0)
+    T[1, :3, 3] = [1, 2, 3]
+    params, masks = preset_pose(params, masks, np.array([0, 1]), T)
+    assert float(np.abs(np.asarray(masks["im_poses"][:2])).sum()) == 0
+    assert float(np.asarray(masks["im_poses"][2]).sum()) > 0
+    from align3r_tpu.alignment.scene import get_im_poses
+    P = np.asarray(get_im_poses(params))
+    np.testing.assert_allclose(P[1], T[1], atol=1e-4)
+    params, masks = preset_focal(params, masks, cfg, 0, 123.0)
+    from align3r_tpu.alignment.scene import get_focals
+    assert abs(float(np.asarray(get_focals(params, cfg))[0]) - 123.0) < 0.1
