@@ -174,3 +174,25 @@ def test_row_freeze_mask():
     np.testing.assert_array_equal(np.asarray(params2["im_poses"][0]), p0_before)
     assert not np.allclose(np.asarray(params2["im_poses"][1]),
                            np.asarray(params["im_poses"][1]))
+
+
+def test_batched_alignment_matches_sequential():
+    """vmapped multi-scene solve == per-scene solves."""
+    from align3r_tpu.alignment.batched import batched_alignment
+    scenes = []
+    for seed in (20, 21):
+        depths, poses = synth_scene(3, seed=seed)
+        out = make_output(depths, poses, sym_edges(3))
+        cfg, data, params = build_scene(out)
+        masks = default_masks(cfg, params)
+        scenes.append((cfg, data, params, masks))
+    cfg = scenes[0][0]
+    solved, losses = batched_alignment(
+        [s[2] for s in scenes], [s[3] for s in scenes],
+        [s[1] for s in scenes], cfg, lr=0.05, niter=40)
+    assert losses.shape == (2, 40)
+    for k, (c, d, p, m) in enumerate(scenes):
+        p_seq, l_seq = global_alignment_loop(p, m, d, c, lr=0.05, niter=40,
+                                             schedule="cosine")
+        np.testing.assert_allclose(losses[k], np.asarray(l_seq), rtol=2e-4,
+                                   atol=1e-5)
