@@ -49,6 +49,7 @@ class SceneConfig:
     min_conf_thr: float = 3.0
     optimize_pp: bool = False
     shared_focal: bool = False         # flow-variant option (one focal for all)
+    allow_pw_adaptors: bool = False
     # flow-variant loss terms (0 = disabled; used by flow_forward)
     temporal_smoothing_weight: float = 0.0
     translation_weight: float = 1.0
@@ -147,6 +148,9 @@ def init_params(cfg: SceneConfig, seed: int = 0) -> Dict:
     k1, k2 = jax.random.split(k)
     params = {
         "pw_poses": jax.random.normal(k1, (cfg.n_edges, 8)),
+        # slight per-edge xy/z scale adaptors (base_opt.py:117-118,174-182;
+        # frozen unless allow_pw_adaptors)
+        "pw_adaptors": jnp.zeros((cfg.n_edges, 2)),
         "im_poses": jax.random.normal(k2, (cfg.n_imgs, 7)),
         "im_focals": jnp.full((cfg.n_focals,), cfg.focal_break * np.log(max(H, W)),
                               jnp.float32),
@@ -165,7 +169,19 @@ def default_masks(cfg: SceneConfig, params: Dict) -> Dict:
     masks = {k: jnp.ones_like(v) for k, v in params.items()}
     if not cfg.optimize_pp:
         masks["im_pp"] = jnp.zeros_like(params["im_pp"])
+    if not cfg.allow_pw_adaptors:
+        masks["pw_adaptors"] = jnp.zeros_like(params["pw_adaptors"])
     return masks
+
+
+def get_adaptors(params, cfg: SceneConfig):
+    """Per-edge (x, y, z) scale adaptors, product-normalised
+    (base_opt.py:174-182): exp((adapt - mean)/pw_break), xy shared."""
+    a = params["pw_adaptors"]
+    a = jnp.concatenate([a[:, 0:1], a], axis=-1)  # (sxy, sxy, sz)
+    if cfg.norm_pw_scale:
+        a = a - a.mean(axis=1, keepdims=True)
+    return jnp.exp(a / cfg.pw_break)
 
 
 # ---------------------------------------------------------------- decoding
@@ -230,9 +246,10 @@ def get_intrinsics(params, data: SceneData, cfg: SceneConfig):
 def pairwise_pts_loss(params, data: SceneData, cfg: SceneConfig, step=0):
     """The core per-edge L1 alignment loss (optimizer.py:223-241)."""
     pw = get_pw_poses(params, cfg)                           # (E, 4, 4)
+    adapt = get_adaptors(params, cfg)[:, None, :]            # (E, 1, 3)
     proj = depth_to_pts3d(params, data, cfg)                 # (n, A, 3)
-    aligned_i = geotrf(pw, data.pred_i)
-    aligned_j = geotrf(pw, data.pred_j)
+    aligned_i = geotrf(pw, adapt * data.pred_i)
+    aligned_j = geotrf(pw, adapt * data.pred_j)
     di = safe_norm(jnp.take(proj, data.ei, axis=0) - aligned_i, axis=-1)
     dj = safe_norm(jnp.take(proj, data.ej, axis=0) - aligned_j, axis=-1)
     A = data.grid.shape[0]

@@ -131,3 +131,34 @@ def average_metrics(per_seq: Sequence[Dict[str, float]]) -> Dict[str, float]:
     weights = [m["valid_pixels"] for m in per_seq]
     return {k: float(np.average([m[k] for m in per_seq], weights=weights))
             for k in per_seq[0] if k != "valid_pixels"}
+
+
+# --------------------------- standalone metrics (reference tool/metric.py)
+
+def i_rmse(pred, gt, valid_mask=None):
+    """Inverse-depth RMSE, per-image mean (metric.py:100-111)."""
+    pred = np.asarray(pred, np.float64)
+    gt = np.asarray(gt, np.float64)
+    diff = 1.0 / pred - 1.0 / gt
+    if valid_mask is not None:
+        diff = np.where(valid_mask, diff, 0.0)
+        n = valid_mask.sum(axis=(-1, -2))
+    else:
+        n = pred.shape[-1] * pred.shape[-2]
+    mse = (diff ** 2).sum(axis=(-1, -2)) / n
+    return float(np.sqrt(mse).mean())
+
+
+def silog_rmse(pred, gt, valid_mask=None):
+    """Scale-invariant log RMSE x100 (metric.py:115-128)."""
+    pred = np.asarray(pred, np.float64)
+    gt = np.asarray(gt, np.float64)
+    diff = np.log(pred) - np.log(gt)
+    if valid_mask is not None:
+        diff = np.where(valid_mask, diff, 0.0)
+        n = valid_mask.sum(axis=(-1, -2))
+    else:
+        n = gt.shape[-2] * gt.shape[-1]
+    first = (diff ** 2).sum(axis=(-1, -2)) / n
+    second = diff.sum(axis=(-1, -2)) ** 2 / (n ** 2)
+    return float(np.sqrt(np.mean(first - second)) * 100)

@@ -48,9 +48,14 @@ def make_lr_schedule(base_lr: float, min_lr: float, warmup_epochs: float,
 
 
 def make_optimizer(params, lr_schedule, weight_decay: float = 0.05,
-                   betas=(0.9, 0.95), max_grad_norm: float | None = None):
+                   betas=(0.9, 0.95), max_grad_norm: float | None = None,
+                   accum_iter: int = 1):
     """AdamW with encoder-freeze masking (training.py:155-160: AdamW
-    betas (0.9, 0.95), weight decay on non-bias/norm params)."""
+    betas (0.9, 0.95), weight decay on non-bias/norm params).
+
+    accum_iter > 1 wraps the chain in optax.MultiSteps — the TPU equivalent
+    of the reference's gradient accumulation (training.py:320-339,
+    accum_iter=4 in train.sh)."""
     def wd_mask(p):
         # no weight decay for biases / norm scales (misc.py:416-421)
         return jax.tree.map(lambda x: getattr(x, "ndim", 0) > 1, p)
@@ -67,7 +72,10 @@ def make_optimizer(params, lr_schedule, weight_decay: float = 0.05,
                         weight_decay=weight_decay, mask=wd_mask)
     # optimizer state is only allocated for trainable params
     chain.append(optax.masked(inner, t_mask))
-    return optax.chain(*chain)
+    tx = optax.chain(*chain)
+    if accum_iter > 1:
+        tx = optax.MultiSteps(tx, every_k_schedule=accum_iter)
+    return tx
 
 
 class TrainState(NamedTuple):

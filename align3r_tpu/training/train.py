@@ -113,7 +113,8 @@ def train(args: TrainArgs):
     # ---- optimizer + sharded step
     sched = make_lr_schedule(args.lr, args.min_lr, args.warmup_epochs,
                              args.epochs, steps_per_epoch)
-    tx = make_optimizer(params, sched, weight_decay=args.weight_decay)
+    tx = make_optimizer(params, sched, weight_decay=args.weight_decay,
+                        accum_iter=args.accum_iter)
     state = create_train_state(params, tx)
 
     best_so_far = None
