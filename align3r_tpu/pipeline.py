@@ -143,16 +143,24 @@ def _save_png(arr, path):
 
 
 def compute_raft_flows(raft_params, imgs_01: np.ndarray, edges,
-                       chunk: int = 12, iters: int = 20):
+                       chunk: int = 12, iters: int = 20,
+                       raft_kind: str = "raft2"):
     """Bidirectional RAFT flow per edge (optimizer.py get_flow:118-154).
     imgs_01: (n, H, W, 3) in [0, 1]. Returns flow_ij, flow_ji (E, H, W, 2)."""
-    from align3r_tpu.models.raft import raft_forward, SPRING_M
+    if raft_kind == "raft1":
+        from align3r_tpu.models.raft1 import raft1_forward, RAFT1Config
+        _fwd = lambda a, b: raft1_forward(raft_params, a, b, RAFT1Config(),
+                                          iters=iters)
+    else:
+        from align3r_tpu.models.raft import raft_forward, SPRING_M
+        _fwd = lambda a, b: raft_forward(raft_params, a, b, SPRING_M,
+                                         iters=iters)
     ei = np.array([e[0] for e in edges])
     ej = np.array([e[1] for e in edges])
     imgs255 = jnp.asarray(imgs_01 * 255.0, jnp.float32)
     E = len(edges)
     f_ij, f_ji = [], []
-    fwd = jax.jit(lambda a, b: raft_forward(raft_params, a, b, SPRING_M, iters=iters))
+    fwd = jax.jit(_fwd)
     for s in range(0, E, chunk):
         e = min(s + chunk, E)
         pad = chunk - (e - s)

@@ -73,8 +73,8 @@ def main():
     raft_params = None
     flow_w = 0.0
     if os.path.exists(args.raft_weights):
-        from align3r_tpu.models.raft import load_raft_checkpoint
-        raft_params = load_raft_checkpoint(args.raft_weights)
+        from align3r_tpu.models.raft1 import load_raft_auto
+        raft_params, _raft_kind = load_raft_auto(args.raft_weights)
         flow_w = 0.01
 
     scene_kw = dict(shared_focal=True, temporal_smoothing_weight=0.01,

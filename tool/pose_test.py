@@ -68,8 +68,8 @@ def main():
     params, cfg = load_model(args.weights, args.image_size)
     raft_params = None
     if args.flow_loss_weight > 0 and os.path.exists(args.raft_weights):
-        from align3r_tpu.models.raft import load_raft_checkpoint
-        raft_params = load_raft_checkpoint(args.raft_weights)
+        from align3r_tpu.models.raft1 import load_raft_auto
+        raft_params, _raft_kind = load_raft_auto(args.raft_weights)
 
     err_log = os.path.join(args.output_dir, f"_error_log_{args.proc_id}.txt")
     ates, rpes_t, rpes_r = [], [], []
