@@ -111,3 +111,31 @@ def hierarchical_pairs(n: int, clip_size: int = 10) -> Tuple[List[int], List[Edg
         if len(clip) > 1:
             clips.append(clip)
     return keyframes, key_edges, clips
+
+
+def is_symmetrized(edges: Sequence[Edge]) -> bool:
+    """True when every (i, j) has its reversed twin (reference
+    dust3r/utils/misc.py:32-40 instance-pattern check, index-based here)."""
+    s = set(map(tuple, edges))
+    return all((j, i) in s for i, j in s)
+
+
+def filter_output_edges_seq(output: dict, seq_dis_thr: int, cyclic: bool = False):
+    """Drop long-range edges from an inference output dict (reference
+    image_pairs.py:105-111 filter_edges_seq)."""
+    import numpy as np
+    import jax
+    idx_i = np.asarray(output["view1"]["idx"])
+    idx_j = np.asarray(output["view2"]["idx"])
+    n = int(max(idx_i.max(), idx_j.max())) + 1
+    dis = np.abs(idx_i - idx_j)
+    if cyclic:
+        dis = np.minimum(dis, np.minimum(np.abs(idx_i + n - idx_j),
+                                         np.abs(idx_i - n - idx_j)))
+    kept = np.nonzero(dis <= seq_dis_thr)[0]
+
+    def sel(tree):
+        return jax.tree.map(lambda x: x[kept] if hasattr(x, "shape") and
+                            x.shape[:1] == idx_i.shape else x, tree)
+
+    return {k: sel(v) for k, v in output.items()}
