@@ -305,7 +305,9 @@ def mask_decoder(p, image_emb, image_pe, sparse, dense, hires, cfg: SAM2Config,
                  multimask_output: bool = False):
     """image_emb (B, h, w, C); sparse (B, P, S, C); dense (B, h, w, C);
     hires: [s0 (B, 4h, 4w, C/8), s1 (B, 2h, 2w, C/4)].
-    Returns (masks (B, P, M, 4h*2, 4w*2), iou, obj_logits)."""
+    Returns (masks (B, P, M, 4h*2, 4w*2), iou, obj_logits,
+    sam_tokens (B, P, M', C)) where sam_tokens is the mask-token slice HF's
+    Sam2MaskDecoder returns (multimask -> tokens 1:; else token 0 only)."""
     B, h, w, C = image_emb.shape
     P = sparse.shape[1]
     n_mask_tokens = cfg.num_multimask_outputs + 1
@@ -346,9 +348,11 @@ def mask_decoder(p, image_emb, image_pe, sparse, dense, hires, cfg: SAM2Config,
     if multimask_output:
         masks = masks[:, :, 1:]
         iou = iou[:, :, 1:]
+        sam_tokens = mask_toks[:, :, 1:]
     else:
         masks, iou = _dynamic_multimask(masks, iou, cfg)
-    return masks, iou, obj
+        sam_tokens = mask_toks[:, :, 0:1]
+    return masks, iou, obj, sam_tokens
 
 
 def _stability(mask_logits, delta):
@@ -378,22 +382,27 @@ def _dynamic_multimask(all_masks, all_iou, cfg: SAM2Config):
 
 # ------------------------------------------------------------------ model
 
-def sam2_image_forward(params, pixel_values, input_masks=None,
-                       cfg: SAM2Config = SAM2Config(),
-                       multimask_output: bool = False):
-    """pixel_values (B, S, S, 3) processor-normalised; input_masks optional
-    (B, 4g, 4g, 1) logits/binary at the mask input size.
-    Returns (low-res mask logits (B, P, M, 4g, 4g), iou, obj_logits)."""
+def sam2_encode_image(params, pixel_values, cfg: SAM2Config = SAM2Config()):
+    """Vision trunk + neck + skip projections (HF get_image_features,
+    modeling_sam2.py). Returns (s0, s1, top, top_pos) with top RAW — the
+    no-memory embedding is NOT added (the video model conditions `top` on
+    memory instead; the image path adds it in sam2_image_forward)."""
     stage_outputs = hiera_forward(params["hiera"], pixel_values, cfg.hiera)
-    feats, _pos = vision_neck(params["neck"], stage_outputs, cfg)
+    feats, poss = vision_neck(params["neck"], stage_outputs, cfg)
     feats = feats[-cfg.num_feature_levels:][::-1]  # fine -> coarse
-    # conv_s0/s1 skip projections (get_image_features)
+    poss = poss[-cfg.num_feature_levels:][::-1]
     s0 = nn.conv2d(params["conv_s0"], feats[0], padding="VALID")
     s1 = nn.conv2d(params["conv_s1"], feats[1], padding="VALID")
-    top = feats[2] + params["no_memory_embedding"].reshape(1, 1, 1, -1)
+    return s0, s1, feats[2], poss[2]
 
-    B = pixel_values.shape[0]
-    g = top.shape[1]
+
+def sam2_decode_heads(params, top, s0, s1, input_masks=None,
+                      cfg: SAM2Config = SAM2Config(),
+                      multimask_output: bool = False):
+    """Prompt encoder (no-point / optional mask prompt) + mask decoder on
+    already-conditioned top-level features `top` (B, g, g, C).
+    Returns (masks, iou, obj_logits, sam_tokens)."""
+    B, g = top.shape[0], top.shape[1]
     # image-wide positional embedding (gaussian on the unit grid)
     ys = (jnp.arange(g, dtype=jnp.float32) + 0.5) / g
     grid = jnp.stack(jnp.meshgrid(ys, ys, indexing="ij"), -1)[..., ::-1]  # (x,y)
@@ -411,6 +420,19 @@ def sam2_image_forward(params, pixel_values, input_masks=None,
                                  top.shape)
     return mask_decoder(params["decoder"], top, img_pe, sparse, dense,
                         [s0, s1], cfg, multimask_output)
+
+
+def sam2_image_forward(params, pixel_values, input_masks=None,
+                       cfg: SAM2Config = SAM2Config(),
+                       multimask_output: bool = False):
+    """pixel_values (B, S, S, 3) processor-normalised; input_masks optional
+    (B, 4g, 4g, 1) logits/binary at the mask input size.
+    Returns (low-res mask logits (B, P, M, 4g, 4g), iou, obj_logits)."""
+    s0, s1, top, _pos = sam2_encode_image(params, pixel_values, cfg)
+    top = top + params["no_memory_embedding"].reshape(1, 1, 1, -1)
+    masks, iou, obj, _tokens = sam2_decode_heads(
+        params, top, s0, s1, input_masks, cfg, multimask_output)
+    return masks, iou, obj
 
 
 # --------------------------------------------------------------- converter

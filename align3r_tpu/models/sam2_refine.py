@@ -7,12 +7,11 @@ masks on even frames; repeat with roles swapped; OR the result into the
 input masks. sam2_mask_refine defaults to False in the tools
 (pose_test.py:44) — the self-mask path works without it.
 
-Implementation strategy this round: the video predictor runs through the
-locally-installed HF `Sam2VideoModel` (torch CPU) when its weights are
-available; mask cleanup (hole filling / island removal) always runs through
-the native C++ connected-components op. A full JAX port of SAM2 (Hiera
-encoder + memory attention) is tracked for a later round — it is ~13k LoC
-in the reference and not on the default path.
+The propagation itself is the JAX-native SAM2 video model
+(models/sam2_video.py: Hiera + memory attention + memory encoder, verified
+against the HF torch implementation); this module handles weight loading and
+the parity-swap refinement scheme, plus a connected-components cleanup
+fallback for zero-egress environments where no SAM2 weights are cached.
 """
 from __future__ import annotations
 
@@ -45,38 +44,21 @@ def sam2_available(model_name: str = "facebook/sam2.1-hiera-large") -> bool:
 
 def refine_motion_mask_w_sam2(images01: np.ndarray, dynamic_masks: np.ndarray,
                               model_name: str = "facebook/sam2.1-hiera-large",
-                              min_area: int = 64) -> np.ndarray:
+                              min_area: int = 64, params=None,
+                              cfg=None) -> np.ndarray:
     """images01: (n, H, W, 3) in [0,1]; dynamic_masks: (n, H, W) bool.
 
-    Returns refined masks. Falls back to connected-component cleanup when
-    SAM2 weights are not locally available (zero-egress environments).
+    Returns refined masks. Pass (params, cfg) from
+    sam2_video.load_hf_sam2_video to skip the checkpoint lookup; falls back
+    to connected-component cleanup when SAM2 weights are not locally
+    available (zero-egress environments).
     """
     masks = np.asarray(dynamic_masks).astype(bool)
-    if not sam2_available(model_name):
-        return cleanup_masks(masks, min_area)
-
-    import torch
-    from transformers import Sam2VideoModel, Sam2VideoProcessor
-    model = Sam2VideoModel.from_pretrained(model_name).eval()
-    processor = Sam2VideoProcessor.from_pretrained(model_name)
-    frames = [(f * 255).astype(np.uint8) for f in np.asarray(images01)]
-    n = len(frames)
-    refined = masks.copy()
-
-    for parity in (1, 0):  # seed odd then even frames (reference scheme)
-        session = processor.init_video_session(video=frames,
-                                               inference_device="cpu")
-        for idx in range(parity, n, 2):
-            if masks[idx].any():
-                processor.add_inputs_to_inference_session(
-                    session, frame_idx=idx, obj_ids=1,
-                    input_masks=masks[idx].astype(np.float32))
-        with torch.no_grad():
-            for out in model.propagate_in_video_iterator(session,
-                                                         start_frame_idx=0):
-                fi = out.frame_idx
-                if fi % 2 == (1 - parity):
-                    m = processor.post_process_masks(
-                        [out.pred_masks], original_sizes=[masks[fi].shape])[0]
-                    refined[fi] |= np.asarray(m)[0, 0] > 0
+    if params is None:
+        if not sam2_available(model_name):
+            return cleanup_masks(masks, min_area)
+        from align3r_tpu.models.sam2_video import load_hf_sam2_video
+        params, cfg = load_hf_sam2_video(model_name)
+    from align3r_tpu.models.sam2_video import refine_motion_masks
+    refined = refine_motion_masks(params, cfg, images01, masks)
     return cleanup_masks(refined, min_area)
