@@ -7,3 +7,6 @@ python datasets_preprocess/preprocess_pointodyssey.py "$@"
 python datasets_preprocess/preprocess_sceneflow.py --subset FlyingThings3D "$@"
 python datasets_preprocess/preprocess_sceneflow.py --subset Driving "$@"
 python datasets_preprocess/preprocess_sceneflow.py --subset Monkaa "$@"
+python datasets_preprocess/preprocess_spring.py "$@"
+python datasets_preprocess/preprocess_tartanair.py "$@"
+python datasets_preprocess/preprocess_vkitti.py "$@"
