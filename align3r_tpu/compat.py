@@ -113,11 +113,55 @@ class _SceneWrapper:
         self.cfg, self.data, self.params = build_scene(output, cfg_kw=cfg_kw,
                                                        mono_depths=mono)
         self._mode = mode
+        self._masks = None  # built lazily; preset_* freezes rows in it
+
+    def _get_masks(self):
+        from align3r_tpu.alignment.scene import default_masks
+        if self._masks is None:
+            self._masks = default_masks(self.cfg, self.params)
+        return self._masks
+
+    # ----- preset/freeze API (reference base_opt preset_pose/_focal/... and
+    # the ModularPointCloudOptimizer's partial-freezing role; here freezing
+    # is a row-level gradient mask, so every scene is "modular")
+    @staticmethod
+    def _msk_indices(msk, n_values):
+        """Reference _get_msk_indices: values align with the SELECTED image
+        indices (zip semantics), msk=None means images 0..n-1."""
+        if msk is None:
+            return np.arange(n_values)
+        return np.nonzero(np.asarray(msk))[0][:n_values]
+
+    def preset_pose(self, known_poses, pose_msk=None):
+        from align3r_tpu.alignment import scene
+        poses = np.asarray(known_poses, np.float32)
+        self.params, self._masks = scene.preset_pose(
+            self.params, self._get_masks(),
+            self._msk_indices(pose_msk, len(poses)), poses)
+
+    def preset_focal(self, known_focals, msk=None):
+        from align3r_tpu.alignment import scene
+        f = np.asarray(known_focals, np.float32).reshape(-1)
+        self.params, self._masks = scene.preset_focal(
+            self.params, self._get_masks(), self.cfg,
+            self._msk_indices(msk, len(f)), f)
+
+    def preset_principal_point(self, known_pp, msk=None):
+        from align3r_tpu.alignment import scene
+        pp = np.asarray(known_pp, np.float32)
+        self.params, self._masks = scene.preset_principal_point(
+            self.params, self._get_masks(), self.data,
+            self._msk_indices(msk, len(pp)), pp)
+
+    def preset_depthmap(self, known_depthmaps, msk=None):
+        from align3r_tpu.alignment import scene
+        d = np.stack([np.asarray(m).reshape(-1) for m in known_depthmaps])
+        self.params, self._masks = scene.preset_depthmap(
+            self.params, self._get_masks(), self._msk_indices(msk, len(d)), d)
 
     def compute_global_alignment(self, init=None, niter=300, schedule="cosine",
                                  lr=0.01, init_priors=None, **kw):
-        from align3r_tpu.alignment.scene import (default_masks,
-                                                 global_alignment_loop,
+        from align3r_tpu.alignment.scene import (global_alignment_loop,
                                                  pairwise_pts_loss)
         from align3r_tpu.alignment.flow import flow_forward
         from align3r_tpu.alignment.init_poses import mst_init
@@ -126,7 +170,9 @@ class _SceneWrapper:
                                    np.asarray(self._output["pred1"]["conf"]),
                                    np.asarray(self._output["pred2"]["conf"]),
                                    init_priors=init_priors)
-        masks = default_masks(self.cfg, self.params)
+        # init="known_poses": poses were provided via preset_pose; nothing to
+        # re-estimate (reference init_im_poses.py init_from_known_poses)
+        masks = self._get_masks()
         loss_fn = flow_forward if self._variant == "flow" else pairwise_pts_loss
         self.params, losses = global_alignment_loop(
             self.params, masks, self.data, self.cfg, lr=lr, niter=niter,

@@ -88,9 +88,13 @@ def encode_images(params: Params, imgs: jnp.ndarray, cfg: Align3RConfig,
     Reference: dust3r/model.py:151-163 (_encode_image).
     """
     x, pos = B.apply_patch_embed(params["patch_embed"], imgs.astype(dtype), cfg.patch_size)
+    if cfg.pos_embed == "cosine":  # croco.py:147-148 (RoPE adds nothing here)
+        from align3r_tpu.models.rope import sincos_pos_embed
+        x = x + sincos_pos_embed(pos, cfg.enc_embed_dim).astype(x.dtype)
 
     block_fn = functools.partial(B.apply_block, num_heads=cfg.enc_num_heads,
-                                 rope_base=cfg.rope_base, attn_impl=attn_impl)
+                                 rope_base=cfg.effective_rope_base,
+                                 attn_impl=attn_impl)
     if remat:
         block_fn = jax.checkpoint(block_fn)
 
@@ -132,6 +136,10 @@ def decode_pair(params: Params, feat1, pos1, feat2, pos2, pc_tokens, pc_pos,
 
     f1 = nn.dense(params["decoder_embed"], feat1.astype(dtype))
     f2 = nn.dense(params["decoder_embed"], feat2.astype(dtype))
+    if cfg.pos_embed == "cosine":  # croco.py:192-194 (not added to priors)
+        from align3r_tpu.models.rope import sincos_pos_embed
+        f1 = f1 + sincos_pos_embed(pos1, cfg.dec_embed_dim).astype(f1.dtype)
+        f2 = f2 + sincos_pos_embed(pos2, cfg.dec_embed_dim).astype(f2.dtype)
     pc = pc_tokens.astype(dtype)
     pc1, pc2 = pc[:B_], pc[B_:]
 
@@ -140,9 +148,11 @@ def decode_pair(params: Params, feat1, pos1, feat2, pos2, pc_tokens, pc_pos,
     f2 = f2 + _zero_conv(nn.layer_slice(zc, 0), pc2)
 
     dec_fn = functools.partial(B.apply_decoder_block, num_heads=cfg.dec_num_heads,
-                               rope_base=cfg.rope_base, attn_impl=attn_impl)
+                               rope_base=cfg.effective_rope_base,
+                               attn_impl=attn_impl)
     pc_fn = functools.partial(B.apply_block, num_heads=cfg.dec_num_heads,
-                              rope_base=cfg.rope_base, attn_impl=attn_impl)
+                              rope_base=cfg.effective_rope_base,
+                              attn_impl=attn_impl)
     if remat:
         dec_fn = jax.checkpoint(dec_fn)
         pc_fn = jax.checkpoint(pc_fn)

@@ -27,6 +27,7 @@ class Align3RConfig:
     dec_num_heads: int = 12
     mlp_ratio: float = 4.0
     rope_base: float = 100.0          # pos_embed='RoPE100'
+    pos_embed: str = "RoPE100"        # 'RoPE<base>' | 'cosine' (croco.py:36,52-68)
     norm_im2_in_dec: bool = True
     # heads
     head_type: str = "dpt"            # 'dpt' | 'linear'
@@ -34,6 +35,11 @@ class Align3RConfig:
     depth_mode: Tuple[str, float, float] = ("exp", -INF, INF)
     conf_mode: Tuple[str, float, float] = ("exp", 1.0, INF)
     landscape_only: bool = True
+    @property
+    def effective_rope_base(self):
+        """None disables RoPE (cosine tables are added to tokens instead)."""
+        return None if self.pos_embed == "cosine" else self.rope_base
+
     # prior-injection branch: dec_depth//2 - 2 extra blocks (croco.py:78-80)
     @property
     def n_pc_blocks(self) -> int:
@@ -89,6 +95,7 @@ def parse_model_string(s: str) -> Align3RConfig:
         dec_num_heads=grab("dec_num_heads", 12),
         mlp_ratio=grab("mlp_ratio", 4.0),
         rope_base=rope_base,
+        pos_embed=str(pos_embed),
         head_type=grab("head_type", "dpt"),
         output_mode=grab("output_mode", "pts3d"),
         depth_mode=tuple(grab("depth_mode", ("exp", -INF, INF))),

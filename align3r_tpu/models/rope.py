@@ -74,3 +74,33 @@ def make_grid_positions(h: int, w: int, batch: int | None = None, dtype=jnp.int3
     if batch is not None:
         pos = jnp.broadcast_to(pos[None], (batch, h * w, 2))
     return pos
+
+
+# ------------------------------------------- sincos tables (pos_embed='cosine')
+
+def sincos_pos_embed_1d(dim: int, pos):
+    """MAE-style 1D sincos table at positions `pos` (...,) -> (..., dim)
+    (reference croco/models/pos_embed.py:46-61)."""
+    omega = 1.0 / 10000.0 ** (jnp.arange(dim // 2, dtype=jnp.float32)
+                              / (dim / 2.0))
+    out = pos.astype(jnp.float32)[..., None] * omega
+    return jnp.concatenate([jnp.sin(out), jnp.cos(out)], axis=-1)
+
+
+def sincos_pos_embed(positions, dim: int):
+    """2D sincos table at token positions (..., 2) of (y, x) ints ->
+    (..., dim).  First half encodes x, second half y: the reference builds
+    the grid with w first (croco/models/pos_embed.py:31 meshgrid(grid_w,
+    grid_h); emb = [emb(grid[0]=x), emb(grid[1]=y)])."""
+    return jnp.concatenate([sincos_pos_embed_1d(dim // 2, positions[..., 1]),
+                            sincos_pos_embed_1d(dim // 2, positions[..., 0])],
+                           axis=-1)
+
+
+def interpolate_pos_embed(table, old_hw, new_hw):
+    """Bicubic grid resize of a stored (old_h*old_w, D) table to
+    (new_h*new_w, D) (reference croco/models/pos_embed.py:69-98; only needed
+    when loading cosine checkpoints at a different resolution)."""
+    t = jnp.asarray(table).reshape(old_hw[0], old_hw[1], -1)
+    t = jax.image.resize(t, (new_hw[0], new_hw[1], t.shape[-1]), "cubic")
+    return t.reshape(new_hw[0] * new_hw[1], -1)

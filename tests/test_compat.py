@@ -60,3 +60,26 @@ def test_nchw_images_accepted(model):
     pairs = compat.make_pairs(imgs, "complete", symmetrize=False)
     out = compat.inference(pairs, model, batch_size=4)
     assert np.isfinite(np.asarray(out["pred1"]["pts3d"])).all()
+
+
+def test_preset_known_poses_frozen(model):
+    """Modular-optimizer role: preset poses/focals stay exactly fixed
+    through the solve (reference preset_pose + init='known_poses')."""
+    imgs = make_views()
+    pairs = compat.make_pairs(imgs, "complete", symmetrize=True)
+    output = compat.inference(pairs, model, batch_size=4)
+    scene = compat.global_aligner(output,
+                                  mode=compat.GlobalAlignerMode.ModularPointCloudOptimizer,
+                                  variant="prior", min_conf_thr=1.1)
+    known = np.stack([np.eye(4, dtype=np.float32)] * 2)
+    known[1, 0, 3] = 0.5
+    scene.preset_pose(known, pose_msk=[True, True, False])
+    scene.preset_focal([40.0], msk=[True, False, False])
+    loss = scene.compute_global_alignment(init="known_poses", niter=15,
+                                          schedule="cosine", lr=0.05)
+    assert np.isfinite(loss)
+    poses = scene.get_im_poses()
+    np.testing.assert_allclose(poses[:2], known, atol=1e-5)
+    np.testing.assert_allclose(scene.get_focals()[0], 40.0, rtol=1e-5)
+    # unfrozen frame 2 moved away from identity
+    assert np.abs(poses[2] - np.eye(4)).max() > 1e-4

@@ -59,3 +59,43 @@ def test_pw_adaptors_identity_when_frozen():
                        allow_pw_adaptors=True)
     masks2 = default_masks(cfg2, init_params(cfg2))
     assert float(np.asarray(masks2["pw_adaptors"]).sum()) > 0
+
+
+def test_tool_metric_functions_and_cli(tmp_path):
+    """tool/metric.py batched metrics agree with per-image loops, CLI runs."""
+    import subprocess, sys
+    sys.path.insert(0, "tool")
+    import metric
+    rng = np.random.default_rng(0)
+    pred = rng.uniform(1, 10, (3, 8, 10))
+    gt = rng.uniform(1, 10, (3, 8, 10))
+    valid = rng.random((3, 8, 10)) > 0.3
+
+    # per-image loop oracle
+    def loop(fn):
+        vals = []
+        for p, g, v in zip(pred, gt, valid):
+            vals.append(fn(p[v], g[v]))
+        return np.mean(vals)
+
+    assert np.isclose(metric.abs_relative_difference(pred, gt, valid),
+                      loop(lambda p, g: (np.abs(p - g) / g).mean()))
+    assert np.isclose(metric.rmse_linear(pred, gt, valid),
+                      loop(lambda p, g: np.sqrt(((p - g) ** 2).mean())))
+    assert np.isclose(metric.delta1_acc(pred, gt, valid),
+                      loop(lambda p, g: (np.maximum(p / g, g / p) < 1.25)
+                           .mean()))
+    assert np.isclose(metric.i_rmse(pred, gt, valid),
+                      loop(lambda p, g: np.sqrt(((1 / p - 1 / g) ** 2)
+                                                .mean())))
+    # identical inputs -> zero errors, perfect deltas
+    assert metric.abs_relative_difference(gt, gt, valid) == 0
+    assert metric.delta3_acc(gt, gt, valid) == 1.0
+    assert metric.silog_rmse(gt, gt, valid) < 1e-5
+
+    np.save(tmp_path / "p.npy", pred)
+    np.save(tmp_path / "g.npy", gt)
+    r = subprocess.run([sys.executable, "tool/metric.py",
+                        str(tmp_path / "p.npy"), str(tmp_path / "g.npy")],
+                       capture_output=True, text=True)
+    assert r.returncode == 0 and "AbsRel" in r.stdout

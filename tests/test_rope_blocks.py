@@ -134,3 +134,52 @@ def test_bilinear_resize_align_corners():
     y2 = np.asarray(nn.bilinear_resize(x, 7, 5, align_corners=False))
     expect2 = F.interpolate(t, size=(7, 5), mode="bilinear", align_corners=False)
     np.testing.assert_allclose(y2[0, :, :, 0], expect2[0, 0].numpy(), atol=1e-5)
+
+
+def test_sincos_pos_embed_matches_mae_formula():
+    """sincos tables match the published MAE grid construction (reference
+    croco/models/pos_embed.py:22-61: w-coordinate half first)."""
+    from align3r_tpu.models.rope import sincos_pos_embed, make_grid_positions
+    h, w, D = 3, 5, 16
+    pos = make_grid_positions(h, w)
+    got = np.asarray(sincos_pos_embed(pos, D))
+
+    # independent numpy construction straight from the MAE paper formula
+    def emb1d(d, p):
+        omega = 1.0 / 10000 ** (np.arange(d // 2, dtype=np.float64) / (d / 2))
+        out = np.outer(p, omega)
+        return np.concatenate([np.sin(out), np.cos(out)], axis=1)
+
+    gw, gh = np.meshgrid(np.arange(w), np.arange(h))
+    expect = np.concatenate([emb1d(D // 2, gw.reshape(-1)),
+                             emb1d(D // 2, gh.reshape(-1))], axis=1)
+    np.testing.assert_allclose(got, expect, atol=1e-5)
+
+
+def test_cosine_pos_embed_model_forward():
+    """pos_embed='cosine' disables RoPE, adds tables, still runs e2e."""
+    import dataclasses
+    import jax
+    from align3r_tpu.models.config import TINY_TEST, parse_model_string
+    from align3r_tpu.models.align3r import init_align3r, apply_align3r
+    cfg = dataclasses.replace(TINY_TEST, pos_embed="cosine")
+    assert cfg.effective_rope_base is None
+    params = init_align3r(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(0)
+    H, W = cfg.img_size
+    img = jnp.asarray(rng.standard_normal((1, H, W, 3)), jnp.float32) * 0.2
+    pc = jnp.asarray(rng.uniform(0, 1, (1, H, W, 3)), jnp.float32)
+    v1 = {"img": img, "pred_depth": pc}
+    v2 = {"img": img * 0.9, "pred_depth": pc}
+    out1, out2 = apply_align3r(params, v1, v2, cfg)
+    assert np.isfinite(np.asarray(out1["pts3d"])).all()
+    # rope path gives a different function
+    out1r, _ = apply_align3r(params, v1, v2, TINY_TEST)
+    assert np.abs(np.asarray(out1["pts3d"]) -
+                  np.asarray(out1r["pts3d"])).max() > 1e-6
+    # parse_model_string round-trips the option
+    s = ("AsymmetricCroCo3DStereo(pos_embed='cosine', img_size=(32, 32), "
+         "head_type='dpt', output_mode='pts3d', depth_mode=('exp', -inf, inf),"
+         " conf_mode=('exp', 1, inf), enc_embed_dim=32, enc_depth=2, "
+         "enc_num_heads=2, dec_embed_dim=32, dec_depth=6, dec_num_heads=2)")
+    assert parse_model_string(s).pos_embed == "cosine"
