@@ -56,16 +56,28 @@ def _batched_scan(params_s, masks_s, data_s, lrs, cfg: SceneConfig,
 def batched_alignment(params_list, masks_list, datas, cfg: SceneConfig,
                       lr: float = 0.01, niter: int = 300,
                       schedule: str = "cosine", lr_min: float = 1e-6,
-                      loss_fn=pairwise_pts_loss):
+                      loss_fn=pairwise_pts_loss, precision: str = "mixed"):
     """Solve S same-shape scenes in one vmapped program.
 
+    precision as in scene.global_alignment_loop ('mixed' = bf16 then fp32).
     Returns (list of solved params dicts, losses (S, niter))."""
+    import dataclasses
     data_s = stack_scenes(datas)
     params_s = stack_params(params_list)
     masks_s = stack_params(masks_list)
     lrs = jnp.asarray(schedule_array(schedule, niter, lr, lr_min))
-    out_params, losses = _batched_scan(params_s, masks_s, data_s, lrs, cfg,
-                                       loss_fn)
+    k = int(niter * 0.8) if precision == "mixed" else \
+        (niter if precision == "bf16" else 0)
+    fast_cfg = dataclasses.replace(cfg, fast_solve=True)
+    if 0 < k:
+        params_s, l1 = _batched_scan(params_s, masks_s, data_s, lrs[:k],
+                                     fast_cfg, loss_fn)
+    if k < niter:
+        params_s, l2 = _batched_scan(params_s, masks_s, data_s, lrs[k:],
+                                     cfg, loss_fn)
+    losses = l2 if k == 0 else (l1 if k == niter else
+                                jnp.concatenate([l1, l2], axis=1))
+    out_params = params_s
     S = len(datas)
     unstacked = [jax.tree.map(lambda x: x[i], out_params) for i in range(S)]
     return unstacked, np.asarray(losses)

@@ -202,3 +202,76 @@ def eval_metrics(pred_traj, gt_traj=None, seq="", filename=None,
             f.write(f"RPE w.r.t. translation part (m)\nrmse\t{rpe_trans}\n")
             f.write(f"RPE w.r.t. rotation angle in degrees (deg)\nrmse\t{rpe_rot}\n")
     return ate, rpe_trans, rpe_rot
+
+
+# --------------------------------------------- plotting + results scraping
+
+def plot_trajectory(pred_traj, gt_traj=None, title="", filename="",
+                    align=True, correct_scale=True):
+    """2D trajectory plot (vo_eval.py:271-305).  Picks the plot plane by
+    dropping the least-varying axis (best_plotmode) and Sim(3)/SE(3)-aligns
+    the prediction to GT first."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    est = _traj_to_mats(pred_traj[0])
+    ref = _traj_to_mats(gt_traj[0]) if gt_traj is not None else None
+    if ref is not None and align:
+        n = min(len(est), len(ref))
+        est, ref = est[:n], ref[:n]
+        est = align_trajectory(est, ref, with_scale=correct_scale)
+    basis = ref if ref is not None else est
+    drop = np.argmin(basis[:, :3, 3].std(axis=0))   # least-varying axis
+    keep = [i for i in range(3) if i != drop]
+    labels = "xyz"
+    fig, ax = plt.subplots(figsize=(8, 8))
+    ax.set_title(title)
+    if ref is not None:
+        ax.plot(ref[:, keep[0], 3], ref[:, keep[1], 3], "--", color="gray",
+                label="Ground Truth")
+    ax.plot(est[:, keep[0], 3], est[:, keep[1], 3], "-", color="blue",
+            label="Predicted")
+    ax.set_xlabel(labels[keep[0]])
+    ax.set_ylabel(labels[keep[1]])
+    ax.legend()
+    ax.set_aspect("equal", adjustable="datalim")
+    out = filename if str(filename).endswith(".png") else f"{filename}.png"
+    fig.savefig(out, dpi=90)
+    plt.close(fig)
+    return out
+
+
+def extract_metrics(file_path):
+    """Scrape (ate, rpe_trans, rpe_rot) from an *_eval_metric.txt written by
+    eval_metrics (vo_eval.py:319-334)."""
+    import re
+    with open(file_path) as f:
+        content = f.read()
+    def grab(pat):
+        m = re.search(pat + r".*?rmse\s+([0-9.eE+-]+)", content, re.DOTALL)
+        return float(m.group(1)) if m else 0.0
+    return (grab(r"APE w\.r\.t\. translation part \(m\)"),
+            grab(r"RPE w\.r\.t\. translation part \(m\)"),
+            grab(r"RPE w\.r\.t\. rotation angle in degrees \(deg\)"))
+
+
+def process_directory(directory):
+    """Collect per-sequence metric files (vo_eval.py:336-349)."""
+    import os
+    results = []
+    for root, _dirs, files in os.walk(directory):
+        for file in sorted(files):
+            if file.endswith("_metric.txt"):
+                ate, rt, rr = extract_metrics(os.path.join(root, file))
+                results.append((file.replace("_eval_metric.txt", ""),
+                                ate, rt, rr))
+    return results
+
+
+def calculate_averages(results):
+    """(avg_ate, avg_rpe_trans, avg_rpe_rot) over scraped per-sequence rows
+    (vo_eval.py:352-361)."""
+    if not results:
+        return 0.0, 0.0, 0.0
+    return tuple(float(np.mean([r[k] for r in results])) for k in (1, 2, 3))

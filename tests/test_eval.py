@@ -110,3 +110,30 @@ def test_eval_metrics_detects_noise(tmp_path):
     ate, rpe_t, rpe_r = eval_metrics(pred, gt, seq="x", filename=str(tmp_path / "r.txt"))
     assert 0 < ate < 0.2
     assert (tmp_path / "r.txt").read_text().startswith("Seq: x")
+
+
+def test_plot_and_scrape_metrics(tmp_path):
+    """plot_trajectory writes a png; metric files scrape + average back."""
+    from align3r_tpu.eval.trajectory import (
+        eval_metrics, plot_trajectory, extract_metrics, process_directory,
+        calculate_averages, poses_to_traj)
+    rng = np.random.default_rng(0)
+    poses = np.tile(np.eye(4, dtype=np.float32), (6, 1, 1))
+    poses[:, 0, 3] = np.arange(6) * 0.1
+    poses[:, 2, 3] = rng.normal(0, 0.05, 6)
+    gt = poses_to_traj(poses)
+    est_poses = poses.copy()
+    est_poses[:, 0, 3] += rng.normal(0, 0.01, 6)
+    est = poses_to_traj(est_poses)
+    f1 = tmp_path / "seqA_eval_metric.txt"
+    ate, rt, rr = eval_metrics(est, gt, seq="seqA", filename=str(f1))
+    png = plot_trajectory(est, gt, title="seqA",
+                          filename=str(tmp_path / "seqA"))
+    assert (tmp_path / "seqA.png").exists()
+    scraped = extract_metrics(str(f1))
+    np.testing.assert_allclose(scraped, (ate, rt, rr), rtol=1e-6)
+    rows = process_directory(str(tmp_path))
+    assert rows[0][0] == "seqA"
+    avg = calculate_averages(rows)
+    np.testing.assert_allclose(avg, (ate, rt, rr), rtol=1e-6)
+    assert calculate_averages([]) == (0.0, 0.0, 0.0)

@@ -111,10 +111,13 @@ def main():
 
             gt_file = meta.gt_traj(meta.img_path, meta.anno_path, seq)
             if gt_file and os.path.exists(gt_file):
+                from align3r_tpu.eval.trajectory import plot_trajectory
                 gt_traj = load_traj(gt_file, meta.traj_format or "sintel")
                 ate, rt, rr = eval_metrics(
                     pred_traj, gt_traj, seq=seq,
                     filename=os.path.join(args.output_dir, f"{seq}_eval.txt"))
+                plot_trajectory(pred_traj, gt_traj, title=seq,
+                                filename=os.path.join(seq_dir, "traj_plot"))
                 ates.append(ate); rpes_t.append(rt); rpes_r.append(rr)
                 print(f"{seq}: ATE={ate:.5f} RPE-t={rt:.5f} RPE-r={rr:.5f}")
         except Exception as e:  # per-sequence failure tolerance (ref 252-265)
