@@ -234,6 +234,36 @@ def gaussian_pos_encode(coords01, pe_matrix):
     return jnp.concatenate([jnp.sin(c), jnp.cos(c)], axis=-1)
 
 
+def embed_point_prompts(params, points, labels, image_size: int,
+                        pad: bool = True):
+    """Sparse point-prompt tokens (modeling_sam2.py Sam2PromptEncoder
+    _embed_points).  points (B, P, N, 2) pixel (x, y); labels (B, P, N):
+    1 positive, 0 negative, -1 padding.  Returns (B, P, N(+1), C)."""
+    pts = jnp.asarray(points, jnp.float32) + 0.5  # centre of pixel
+    lab = jnp.asarray(labels, jnp.int32)
+    if pad:  # trailing not-a-point slot (omitted when boxes accompany)
+        pts = jnp.pad(pts, ((0, 0), (0, 0), (0, 1), (0, 0)))
+        lab = jnp.pad(lab, ((0, 0), (0, 0), (0, 1)), constant_values=-1)
+    emb = gaussian_pos_encode(pts / image_size, params["pe_matrix"])
+    emb = jnp.where(lab[..., None] == -1, params["not_a_point_embed"], emb)
+    emb = emb + (params["point_embed"][jnp.clip(lab, 0)]
+                 * (lab >= 0)[..., None])
+    return emb
+
+
+def embed_box_prompts(params, boxes, image_size: int):
+    """Box corners as sparse tokens (modeling_sam2.py _embed_boxes).
+    boxes (B, n, 4) pixel (x1, y1, x2, y2) -> (B, n, 3, C)."""
+    b = jnp.asarray(boxes, jnp.float32) + 0.5
+    coords = b.reshape(b.shape[0], b.shape[1], 2, 2)
+    coords = jnp.pad(coords, ((0, 0), (0, 0), (0, 1), (0, 0)))
+    emb = gaussian_pos_encode(coords / image_size, params["pe_matrix"])
+    emb = emb.at[:, :, 0].add(params["point_embed"][2])
+    emb = emb.at[:, :, 1].add(params["point_embed"][3])
+    emb = emb.at[:, :, 2].set(params["not_a_point_embed"][0])
+    return emb
+
+
 def embed_mask_prompt(p, masks, eps=1e-6):
     """masks (B, H, W, 1) at mask_input_size -> dense embeddings."""
     x = nn.conv2d(p["conv1"], masks, stride=2, padding="VALID")
@@ -398,9 +428,12 @@ def sam2_encode_image(params, pixel_values, cfg: SAM2Config = SAM2Config()):
 
 def sam2_decode_heads(params, top, s0, s1, input_masks=None,
                       cfg: SAM2Config = SAM2Config(),
-                      multimask_output: bool = False):
-    """Prompt encoder (no-point / optional mask prompt) + mask decoder on
-    already-conditioned top-level features `top` (B, g, g, C).
+                      multimask_output: bool = False, input_points=None,
+                      input_labels=None, input_boxes=None):
+    """Prompt encoder + mask decoder on already-conditioned top-level
+    features `top` (B, g, g, C).  Prompts: optional points (B, P, N, 2) with
+    labels, boxes (B, n, 4), mask logits; with no sparse prompt a single
+    not-a-point token stands in (HF pads an empty point set the same way).
     Returns (masks, iou, obj_logits, sam_tokens)."""
     B, g = top.shape[0], top.shape[1]
     # image-wide positional embedding (gaussian on the unit grid)
@@ -409,9 +442,18 @@ def sam2_decode_heads(params, top, s0, s1, input_masks=None,
     img_pe = gaussian_pos_encode(grid, params["pe_matrix"])
     img_pe = jnp.broadcast_to(img_pe[None], (B, g, g, img_pe.shape[-1]))
 
-    # prompts: default "no point" sparse token + mask or no-mask dense
-    sparse = jnp.broadcast_to(params["not_a_point_embed"][None, None],
-                              (B, 1, 1, cfg.prompt_hidden_size))
+    sparse = None
+    if input_points is not None:
+        sparse = embed_point_prompts(params, input_points, input_labels,
+                                     cfg.image_size,
+                                     pad=(input_boxes is None))
+    if input_boxes is not None:
+        box_emb = embed_box_prompts(params, input_boxes, cfg.image_size)
+        sparse = box_emb if sparse is None else \
+            jnp.concatenate([sparse, box_emb], axis=2)
+    if sparse is None:
+        sparse = jnp.broadcast_to(params["not_a_point_embed"][None, None],
+                                  (B, 1, 1, cfg.prompt_hidden_size))
     if input_masks is not None:
         dense = embed_mask_prompt(params["mask_embed"], input_masks,
                                   cfg.layer_norm_eps)
@@ -424,14 +466,18 @@ def sam2_decode_heads(params, top, s0, s1, input_masks=None,
 
 def sam2_image_forward(params, pixel_values, input_masks=None,
                        cfg: SAM2Config = SAM2Config(),
-                       multimask_output: bool = False):
+                       multimask_output: bool = False, input_points=None,
+                       input_labels=None, input_boxes=None):
     """pixel_values (B, S, S, 3) processor-normalised; input_masks optional
-    (B, 4g, 4g, 1) logits/binary at the mask input size.
+    (B, 4g, 4g, 1) logits/binary at the mask input size; input_points
+    (B, P, N, 2) pixel xy + input_labels (B, P, N); input_boxes (B, n, 4).
     Returns (low-res mask logits (B, P, M, 4g, 4g), iou, obj_logits)."""
     s0, s1, top, _pos = sam2_encode_image(params, pixel_values, cfg)
     top = top + params["no_memory_embedding"].reshape(1, 1, 1, -1)
     masks, iou, obj, _tokens = sam2_decode_heads(
-        params, top, s0, s1, input_masks, cfg, multimask_output)
+        params, top, s0, s1, input_masks, cfg, multimask_output,
+        input_points=input_points, input_labels=input_labels,
+        input_boxes=input_boxes)
     return masks, iou, obj
 
 
@@ -578,6 +624,7 @@ def convert_hf_sam2(sd: Dict[str, np.ndarray], cfg: SAM2Config) -> Dict:
         "no_memory_embedding": np.asarray(sd["no_memory_embedding"]),
         "no_mask_embed": np.asarray(sd["prompt_encoder.no_mask_embed.weight"]),
         "not_a_point_embed": np.asarray(sd["prompt_encoder.not_a_point_embed.weight"]),
+        "point_embed": np.asarray(sd["prompt_encoder.point_embed.weight"]),
         "mask_embed": {
             "conv1": _c2d_t(sd, "prompt_encoder.mask_embed.conv1"),
             "conv2": _c2d_t(sd, "prompt_encoder.mask_embed.conv2"),

@@ -414,18 +414,44 @@ def _upsample_to_image(masks, size: int):
 
 def sam2_video_frame(params, cfg: SAM2VideoConfig, pixel_values,
                      bank: MemoryBank, frame_idx, num_frames,
-                     init_mask=None):
+                     init_mask=None, init_points=None, init_labels=None):
     """One tracking step (HF _run_single_frame_inference).  `init_mask`
-    (B, H, W, 1) binary at image size marks the conditioning frame
-    (HF _use_mask_as_output semantics); subsequent frames pass None.
+    (B, H, W, 1) binary at image size marks a mask-conditioned frame
+    (HF _use_mask_as_output semantics); `init_points` (B, P, N, 2) +
+    `init_labels` mark a point-conditioned frame (no-memory embedding +
+    SAM head with point prompts); tracked frames pass neither.
     Returns (low-res mask logits (B, 1, g4, g4), object_score_logits,
     updated bank)."""
     img = cfg.image
     s0, s1, top, top_pos = sam2_encode_image(params["image"], pixel_values,
                                              img)
     B, h, w, C = top.shape
-    is_cond = init_mask is not None
-    if is_cond:
+    is_cond = init_mask is not None or init_points is not None
+    if init_points is not None:
+        # point-conditioned frame: no-memory embedding, point prompts,
+        # multimask when 0<=n_pts<=1 (HF _use_multimask with is_init=True)
+        cond_top = top + params["image"]["no_memory_embedding"].reshape(
+            1, 1, 1, -1)
+        multi = init_points.shape[2] <= 1
+        masks, iou, obj_logits, tokens = sam2_decode_heads(
+            params["image"], cond_top, s0, s1, None, img,
+            multimask_output=multi, input_points=init_points,
+            input_labels=init_labels)
+        obj_logits = obj_logits[:, 0]
+        masks = jnp.where(obj_logits[:, :, None, None] > 0, masks[:, 0],
+                          NO_OBJ_SCORE)
+        high_res = _upsample_to_image(masks, img.image_size)
+        if multi:
+            best = jnp.argmax(iou[:, 0], axis=-1)
+            low_res = jnp.take_along_axis(masks, best[:, None, None, None],
+                                          axis=1)
+            high_res = jnp.take_along_axis(high_res,
+                                           best[:, None, None, None], axis=1)
+        else:
+            low_res, high_res = masks[:, :1], high_res[:, :1]
+        ptr = _object_pointer(params, tokens, iou, obj_logits, multi)
+        high_res = high_res[:, 0][..., None]
+    elif is_cond:
         # mask-as-output path: +20/-10 logits, pointer from the SAM head fed
         # the 4x-downsampled mask prompt (modeling_sam2_video.py:2052-2097)
         # HF _use_mask_as_output: the SAM head sees the RAW backbone top

@@ -87,3 +87,43 @@ def test_sam2_mask_prompt_matches_hf(hf_tiny):
                                          multimask_output=False)
     np.testing.assert_allclose(np.asarray(masks), out.pred_masks.numpy(),
                                atol=5e-3, rtol=1e-2)
+
+
+def test_sam2_point_prompt_matches_hf(hf_tiny):
+    model, cfg = hf_tiny
+    params, jcfg = _convert(model, cfg)
+    from align3r_tpu.models.sam2 import sam2_image_forward
+    rng = np.random.default_rng(2)
+    x = rng.standard_normal((1, 128, 128, 3)).astype(np.float32)
+    pts = np.array([[[[40.0, 60.0], [90.0, 30.0]]]], np.float32)  # (1,1,2,2)
+    lab = np.array([[[1, 0]]], np.int64)
+    with torch.no_grad():
+        out = model(pixel_values=torch.from_numpy(x).permute(0, 3, 1, 2),
+                    input_points=torch.from_numpy(pts),
+                    input_labels=torch.from_numpy(lab),
+                    multimask_output=True)
+    masks, iou, obj = sam2_image_forward(
+        params, jnp.asarray(x), None, jcfg, multimask_output=True,
+        input_points=jnp.asarray(pts), input_labels=jnp.asarray(lab))
+    np.testing.assert_allclose(np.asarray(masks), out.pred_masks.numpy(),
+                               atol=5e-3, rtol=1e-2)
+    np.testing.assert_allclose(np.asarray(iou), out.iou_scores.numpy(),
+                               atol=5e-3)
+
+
+def test_sam2_box_prompt_matches_hf(hf_tiny):
+    model, cfg = hf_tiny
+    params, jcfg = _convert(model, cfg)
+    from align3r_tpu.models.sam2 import sam2_image_forward
+    rng = np.random.default_rng(3)
+    x = rng.standard_normal((1, 128, 128, 3)).astype(np.float32)
+    boxes = np.array([[[20.0, 30.0, 90.0, 100.0]]], np.float32)  # (1,1,4)
+    with torch.no_grad():
+        out = model(pixel_values=torch.from_numpy(x).permute(0, 3, 1, 2),
+                    input_boxes=torch.from_numpy(boxes),
+                    multimask_output=False)
+    masks, iou, obj = sam2_image_forward(
+        params, jnp.asarray(x), None, jcfg, multimask_output=False,
+        input_boxes=jnp.asarray(boxes))
+    np.testing.assert_allclose(np.asarray(masks), out.pred_masks.numpy(),
+                               atol=5e-3, rtol=1e-2)

@@ -235,3 +235,28 @@ def test_refine_motion_masks_parity_swap(hf_video_tiny):
                                   num_cond_slots=2)
     assert refined.shape == (T, H, W) and refined.dtype == bool
     assert (refined | masks).sum() == refined.sum()  # superset of input
+
+
+def test_point_conditioned_tracking(hf_video_tiny):
+    """Point-prompt conditioning frame then tracked frame runs end to end."""
+    model, cfg = hf_video_tiny
+    params, jcfg = _convert(model, cfg)
+    import jax.numpy as jnp
+    from align3r_tpu.models.sam2_video import (init_memory_bank,
+                                               sam2_video_frame)
+    rng = np.random.default_rng(6)
+    frames = jnp.asarray(rng.standard_normal((2, 1, 128, 128, 3)),
+                         jnp.float32)
+    bank = init_memory_bank(jcfg, 1, 64)
+    pts = jnp.asarray([[[[64.0, 64.0]]]])   # one positive click
+    lab = jnp.asarray([[[1]]], jnp.int32)
+    low0, obj0, bank = sam2_video_frame(params, jcfg, frames[0], bank,
+                                        jnp.int32(0), 2, init_points=pts,
+                                        init_labels=lab)
+    low1, obj1, bank = sam2_video_frame(params, jcfg, frames[1], bank,
+                                        jnp.int32(1), 2)
+    assert low0.shape == (1, 1, 32, 32) and low1.shape == (1, 1, 32, 32)
+    assert np.isfinite(np.asarray(low0)).all()
+    assert np.isfinite(np.asarray(low1)).all()
+    assert bool(np.asarray(bank.cond_valid[0])) and \
+        bool(np.asarray(bank.recent_valid[0]))
