@@ -14,8 +14,11 @@ positions.
 """
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 def rope_cos_sin(pos1d: jnp.ndarray, half_dim: int, base: float = 100.0, dtype=jnp.float32):
@@ -44,6 +47,27 @@ def apply_rope1d(tokens: jnp.ndarray, cos: jnp.ndarray, sin: jnp.ndarray):
     return tokens * cos + _rotate_half(tokens) * sin
 
 
+@functools.lru_cache(maxsize=8)
+def _rope_rotation_matrix(D: int):
+    """Constant (D, D) matrix M with (t @ M) == rotate_half applied within
+    each D/2 half: out[i] = -t[i+q] for the first quarter of each half and
+    out[i] = t[i-q] for the second (q = D//4).
+
+    TPU rationale: jnp.split/concatenate on the last (lane) axis forces
+    relayouts of the whole (B, H, N, D) tensor when the rope application is
+    dispatched standalone; a constant DxD matmul does the permutation on
+    the MXU with no lane shuffles.  Inside the fully fused encoder/decoder
+    program XLA absorbs either form (measured ~equal end-to-end on v5e);
+    the matmul form keeps standalone/microkernel uses fast too."""
+    q = D // 4
+    m = np.zeros((D, D), np.float32)
+    for h in (0, 2 * q):                      # the y-half and the x-half
+        for i in range(q):
+            m[h + q + i, h + i] = -1.0        # out[:q] = -in[q:2q]
+            m[h + i, h + q + i] = 1.0         # out[q:2q] = in[:q]
+    return m
+
+
 def apply_rope2d(tokens: jnp.ndarray, positions: jnp.ndarray, base: float = 100.0):
     """RoPE2D on attention heads.
 
@@ -56,10 +80,13 @@ def apply_rope2d(tokens: jnp.ndarray, positions: jnp.ndarray, base: float = 100.
     dtype = tokens.dtype
     cos_y, sin_y = rope_cos_sin(positions[..., 0], half, base, dtype)
     cos_x, sin_x = rope_cos_sin(positions[..., 1], half, base, dtype)
-    ty, tx = jnp.split(tokens, 2, axis=-1)
-    ty = apply_rope1d(ty, cos_y, sin_y)
-    tx = apply_rope1d(tx, cos_x, sin_x)
-    return jnp.concatenate([ty, tx], axis=-1)
+    cos = jnp.concatenate([cos_y, cos_x], axis=-1)[:, None]   # (B, 1, N, D)
+    sin = jnp.concatenate([sin_y, sin_x], axis=-1)[:, None]
+    rot = jnp.asarray(_rope_rotation_matrix(D), dtype)
+    rotated = jax.lax.dot_general(
+        tokens, rot, (((tokens.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=dtype)
+    return tokens * cos + rotated * sin
 
 
 def make_grid_positions(h: int, w: int, batch: int | None = None, dtype=jnp.int32):
