@@ -33,8 +33,11 @@ from align3r_tpu.models.rope import make_grid_positions
 
 
 def _decode_batch(params, feat1, feat2, pc1, pc2, cfg: Align3RConfig,
-                  img_hw: Tuple[int, int], dtype=jnp.bfloat16):
-    """Decoder + heads for a batch of pairs with precomputed features."""
+                  img_hw: Tuple[int, int], dtype=jnp.bfloat16,
+                  head_dtype=jnp.float32):
+    """Decoder + heads for a batch of pairs with precomputed features.
+    head_dtype=jnp.bfloat16 opts the DPT conv pyramid into bf16 (fp32 is
+    the reference AMP behaviour and the default)."""
     H, W = img_hw
     grid = (H // cfg.patch_size, W // cfg.patch_size)
     Bp = feat1.shape[0]
@@ -44,15 +47,18 @@ def _decode_batch(params, feat1, feat2, pc1, pc2, cfg: Align3RConfig,
     hooks1, hooks2 = decode_pair(params, feat1, pos, feat2, pos,
                                  pc_tokens, pc_pos, cfg, dtype)
     res1 = apply_dpt_head(params["head1"], hooks1, grid, (H, W),
-                          cfg.depth_mode, cfg.conf_mode)
+                          cfg.depth_mode, cfg.conf_mode, dtype=head_dtype)
     res2 = apply_dpt_head(params["head2"], hooks2, grid, (H, W),
-                          cfg.depth_mode, cfg.conf_mode)
+                          cfg.depth_mode, cfg.conf_mode, dtype=head_dtype)
     return res1, res2
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "img_hw", "dtype"))
-def _decode_batch_jit(params, feat1, feat2, pc1, pc2, cfg, img_hw, dtype=jnp.bfloat16):
-    return _decode_batch(params, feat1, feat2, pc1, pc2, cfg, img_hw, dtype)
+@functools.partial(jax.jit,
+                   static_argnames=("cfg", "img_hw", "dtype", "head_dtype"))
+def _decode_batch_jit(params, feat1, feat2, pc1, pc2, cfg, img_hw,
+                      dtype=jnp.bfloat16, head_dtype=jnp.float32):
+    return _decode_batch(params, feat1, feat2, pc1, pc2, cfg, img_hw, dtype,
+                         head_dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "dtype"))
@@ -65,7 +71,7 @@ def _encode_all_jit(params, imgs, priors, cfg, dtype=jnp.bfloat16):
 def inference(pairs: Sequence[Tuple[int, int]], params, cfg: Align3RConfig,
               imgs: jnp.ndarray, priors: jnp.ndarray,
               batch_size: int = 8, dtype=jnp.bfloat16,
-              encode_chunk: int = 16) -> Dict:
+              encode_chunk: int = 16, head_dtype=jnp.float32) -> Dict:
     """Run the two-view network over a frame graph.
 
     pairs: list of (i, j) index edges; imgs: (n, H, W, 3) normalised,
@@ -114,7 +120,8 @@ def inference(pairs: Sequence[Tuple[int, int]], params, cfg: Align3RConfig,
         f2 = jnp.take(feats, jnp.asarray(bj), axis=0)
         p1 = jnp.take(pc_tok, jnp.asarray(bi), axis=0)
         p2 = jnp.take(pc_tok, jnp.asarray(bj), axis=0)
-        r1, r2 = _decode_batch_jit(params, f1, f2, p1, p2, cfg, (H, W), dtype)
+        r1, r2 = _decode_batch_jit(params, f1, f2, p1, p2, cfg, (H, W),
+                                   dtype, head_dtype)
         outs1.append(jax.tree.map(lambda x: x[: e - s], r1))
         outs2.append(jax.tree.map(lambda x: x[: e - s], r2))
 

@@ -81,15 +81,18 @@ def _fusion(p, x, skip=None):
 
 
 def apply_dpt_head(p, hook_tokens: List[jnp.ndarray], grid_hw, img_hw,
-                   depth_mode=None, conf_mode=None):
+                   depth_mode=None, conf_mode=None, dtype=jnp.float32):
     """hook_tokens: 4 arrays (B, N, C_hook) at hooks [0, 2l/4, 3l/4, l];
     grid_hw: (nh, nw) patch grid; img_hw: (H, W) output resolution.
-    Runs fully in fp32 (reference forces heads out of autocast,
-    dust3r/model.py:252-254). Returns dict(pts3d, conf).
+    Runs in fp32 by default (reference forces heads out of autocast,
+    dust3r/model.py:252-254); dtype=jnp.bfloat16 is an opt-in fast path —
+    the conv pyramid runs bf16 (fp32 MXU accumulation either way) and the
+    final regression conv + postprocess exponentials stay fp32.
+    Returns dict(pts3d, conf).
     """
     nh, nw = grid_hw
     H, W = img_hw
-    maps = [t.astype(jnp.float32).reshape(t.shape[0], nh, nw, t.shape[-1])
+    maps = [t.astype(dtype).reshape(t.shape[0], nh, nw, t.shape[-1])
             for t in hook_tokens]
 
     l1 = nn.conv_transpose2d(p["act1_up"], nn.conv2d(p["act1_conv"], maps[0]))
@@ -111,7 +114,7 @@ def apply_dpt_head(p, hook_tokens: List[jnp.ndarray], grid_hw, img_hw,
     x = nn.conv2d(p["head_conv1"], path1)
     x = nn.bilinear_resize(x, x.shape[1] * 2, x.shape[2] * 2, align_corners=True)
     x = jax.nn.relu(nn.conv2d(p["head_conv2"], x))
-    out = nn.conv2d(p["head_conv3"], x)
+    out = nn.conv2d(p["head_conv3"], x.astype(jnp.float32))
     out = out[:, :H, :W, :]
     if depth_mode is None:
         return out

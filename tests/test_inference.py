@@ -89,3 +89,27 @@ def test_inference_engine_padding_last_batch():
     out = inference(pairs, params, cfg, imgs, priors, batch_size=2, dtype=jnp.float32)
     assert out["pred1"]["pts3d"].shape[0] == 3
     assert np.isfinite(np.asarray(out["pred1"]["pts3d"])).all()
+
+
+def test_bf16_head_option_close_to_fp32():
+    """head_dtype=bf16 fast path stays close to the fp32 default."""
+    import jax
+    import jax.numpy as jnp
+    from align3r_tpu.models.config import TINY_TEST
+    from align3r_tpu.models.align3r import init_align3r
+    from align3r_tpu.inference.engine import inference as engine_inference
+    params = init_align3r(jax.random.PRNGKey(0), TINY_TEST)
+    rng = np.random.default_rng(0)
+    H, W = TINY_TEST.img_size
+    imgs = jnp.asarray(rng.standard_normal((3, H, W, 3)), jnp.float32) * 0.2
+    priors = jnp.asarray(rng.uniform(0, 1, (3, H, W, 3)), jnp.float32)
+    pairs = [(0, 1), (1, 2)]
+    o32 = engine_inference(pairs, params, TINY_TEST, imgs, priors,
+                           batch_size=2)
+    o16 = engine_inference(pairs, params, TINY_TEST, imgs, priors,
+                           batch_size=2, head_dtype=jnp.bfloat16)
+    a = np.asarray(o32["pred1"]["pts3d"])
+    b = np.asarray(o16["pred1"]["pts3d"])
+    rel = np.abs(a - b) / (np.abs(a) + 1e-3)
+    assert np.median(rel) < 0.02
+    assert np.isfinite(b).all()
