@@ -42,6 +42,7 @@ def get_args_parser():
     p.add_argument("--seq_list", nargs="+", default=None)
     p.add_argument("--n_proc", type=int, default=1)
     p.add_argument("--proc_id", type=int, default=0)
+    p.add_argument("--overwrite", action="store_true", default=False)
     return p
 
 
@@ -85,6 +86,11 @@ def main():
     params, cfg = load_model(args.weights, args.image_size)
     per_seq = []
     for seq in seqs:
+        # resume interrupted sweeps (reference eval_metadata skip_condition)
+        done = os.path.join(args.output_dir, f"{seq}_depths.npy")
+        if not getattr(args, "overwrite", False) and os.path.exists(done):
+            print(f"skip {seq} (done; --overwrite to redo)")
+            continue
         img_dir = meta.seq_dir(meta.img_path, seq)
         views = load_images(img_dir, args.image_size,
                             traj_format=meta.traj_format or "sintel",
@@ -103,6 +109,7 @@ def main():
             _, poses, depths = reconstruct_scene_hierarchical(
                 stacked["imgs"], stacked["priors"], params, cfg,
                 clip_size=args.crop_size, **common)
+            np.save(os.path.join(args.output_dir, f"{seq}_depths.npy"), depths)
         else:
             scene = reconstruct_scene(stacked["imgs"], stacked["priors"],
                                       params, cfg, scene_graph="complete",

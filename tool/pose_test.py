@@ -40,6 +40,8 @@ def get_args_parser():
     p.add_argument("--raft_weights", type=str,
                    default="third_party/RAFT/models/Tartan-C-T432x960-M.pth")
     p.add_argument("--depth_prior_name", type=str, default="depthpro")
+    p.add_argument("--overwrite", action="store_true", default=False,
+                   help="re-run sequences whose outputs already exist")
     p.add_argument("--start_frame", type=int, default=0)
     p.add_argument("--interval_frame", type=int, default=10 ** 9)
     p.add_argument("--batch_size", type=int, default=8)
@@ -74,6 +76,12 @@ def main():
     err_log = os.path.join(args.output_dir, f"_error_log_{args.proc_id}.txt")
     ates, rpes_t, rpes_r = [], [], []
     for seq in seqs:
+        # resume interrupted sweeps: skip already-evaluated sequences
+        # (reference eval_metadata.py skip_condition)
+        done = os.path.join(args.output_dir, seq, "pred_traj.txt")
+        if not args.overwrite and os.path.exists(done):
+            print(f"skip {seq} (done; --overwrite to redo)")
+            continue
         try:
             img_dir = meta.seq_dir(meta.img_path, seq)
             views = load_images(img_dir, args.image_size,
