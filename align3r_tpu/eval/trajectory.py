@@ -112,11 +112,42 @@ def load_sintel_traj(cam_dir):
     return tum, np.asarray(ts)
 
 
+def load_replica_traj(path):
+    """Replica/ScanNet-style pose file: one row per frame, 12 or 16 floats of
+    the row-major cam2world matrix (vo_eval.py:38-66 load_replica_traj; the
+    scannet registry points pose_30.txt at this format, eval_metadata.py:44-55).
+    Rows with non-finite entries (scannet emits '-inf' for untracked frames)
+    keep their slot but reuse the previous valid pose."""
+    raw = np.loadtxt(path)
+    raw = raw.reshape(len(raw), -1) if raw.ndim > 1 else raw[None]
+    assert raw.shape[1] in (12, 16), f"bad replica pose row width {raw.shape[1]}"
+    rows, last = [], np.eye(4)
+    for r in raw:
+        T = np.eye(4)
+        T[:3] = r[:12].reshape(3, 4)
+        if not np.isfinite(T).all():
+            T = last
+        last = T
+        rows.append(c2w_to_tumpose(T))
+    return np.stack(rows), np.arange(len(rows), dtype=np.float64)
+
+
+def load_kitti_traj(path):
+    """KITTI odometry poses: 12 floats per row, world2cam convention is NOT
+    used here — KITTI poses files are cam2world of the left camera, same
+    matrix-row layout as replica."""
+    return load_replica_traj(path)
+
+
 def load_traj(gt_file, traj_format="sintel", skip=0, stride=1, num_frames=None):
     if traj_format == "sintel":
         tum, ts = load_sintel_traj(gt_file)
     elif traj_format in ("tum", "tartanair", "bonn"):
         tum, ts = load_tum_gt(gt_file)
+    elif traj_format in ("replica", "scannet"):
+        tum, ts = load_replica_traj(gt_file)
+    elif traj_format == "kitti":
+        tum, ts = load_kitti_traj(gt_file)
     else:
         raise NotImplementedError(traj_format)
     tum, ts = tum[skip::stride], ts[skip::stride]

@@ -256,6 +256,10 @@ def export_state_dict(params: Dict, cfg: Align3RConfig) -> Dict[str, np.ndarray]
         put_conv2d(f"{pfx}.head.4", h["head_conv3"])
         for k in range(1, 5):
             put_conv2d(f"{pfx}.scratch.layer{k}_rn", h[f"layer{k}_rn"])
+            # the reference registers the same conv under a second name via
+            # ModuleList aliasing (croco/models/dpt_block.py:70-73) — a torch
+            # state_dict carries both keys, so the export must too
+            put_conv2d(f"{pfx}.scratch.layer_rn.{k - 1}", h[f"layer{k}_rn"])
             for unit, ours in (("resConfUnit1", "res1"), ("resConfUnit2", "res2")):
                 put_conv2d(f"{pfx}.scratch.refinenet{k}.{unit}.conv1",
                            h[f"refinenet{k}"][ours]["conv1"])

@@ -137,3 +137,29 @@ def test_plot_and_scrape_metrics(tmp_path):
     avg = calculate_averages(rows)
     np.testing.assert_allclose(avg, (ate, rt, rr), rtol=1e-6)
     assert calculate_averages([]) == (0.0, 0.0, 0.0)
+
+
+def test_load_replica_scannet_traj(tmp_path):
+    """ScanNet pose_30.txt rows (row-major 4x4 cam2world) load through the
+    'scannet' traj_format (reference vo_eval.py:38-66, eval_metadata scannet
+    entry); untracked -inf rows inherit the previous pose."""
+    from align3r_tpu.eval.trajectory import load_traj, tumpose_to_c2w
+    rng = np.random.default_rng(0)
+    mats = []
+    for _ in range(4):
+        T = np.eye(4)
+        T[:3, :3] = Rotation.random(random_state=rng.integers(1 << 30)).as_matrix()
+        T[:3, 3] = rng.standard_normal(3)
+        mats.append(T)
+    rows = [m[:3].reshape(-1) for m in mats]
+    rows.insert(2, np.full(12, -np.inf))  # scannet untracked frame
+    p = tmp_path / "pose_30.txt"
+    np.savetxt(p, np.stack(rows))
+    tum, ts = load_traj(str(p), "scannet")
+    assert tum.shape == (5, 7) and len(ts) == 5
+    np.testing.assert_allclose(tumpose_to_c2w(tum[0]), mats[0], atol=1e-6)
+    np.testing.assert_allclose(tum[2], tum[1])  # inherited pose
+    # kitti format shares the matrix-row layout
+    np.savetxt(tmp_path / "poses.txt", np.stack([m[:3].reshape(-1) for m in mats]))
+    tum_k, _ = load_traj(str(tmp_path / "poses.txt"), "kitti")
+    assert tum_k.shape == (4, 7)

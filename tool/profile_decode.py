@@ -1,0 +1,154 @@
+"""Decode-stage profiler (real TPU): where do the 15.9 ms/pair go?
+
+Times jitted scan-chained loops (single-call timings over the axon tunnel
+are unreliable; see CLAUDE.md). Each candidate runs K iterations inside one
+jit with a data dependency between iterations so XLA cannot hoist the body.
+
+Usage: python tool/profile_decode.py [--reps 20] [--which all]
+"""
+from __future__ import annotations
+
+import argparse
+import functools
+import time
+
+import numpy as np
+
+
+def timed(fn, *args, reps):
+    """Compile, then time reps iterations chained in one scan."""
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def loop(x0, args):
+        def body(c, _):
+            return fn(c, *args), None
+        out, _ = jax.lax.scan(body, x0, None, length=reps)
+        return out
+
+    x0 = args[0]
+    rest = args[1:]
+    out = loop(x0, rest)
+    np.asarray(jnp.sum(jax.tree.leaves(out)[0]))  # compile+run
+    t0 = time.perf_counter()
+    out = loop(x0, rest)
+    np.asarray(jnp.sum(jax.tree.leaves(out)[0]))
+    return (time.perf_counter() - t0) / reps
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--reps", type=int, default=20)
+    ap.add_argument("--which", default="all",
+                    help="comma list: attn,decode,heads,matmul")
+    args = ap.parse_args()
+    which = set(args.which.split(","))
+
+    import jax
+    import jax.numpy as jnp
+    from align3r_tpu.models.config import VIT_L_512
+    from align3r_tpu.models.align3r import init_align3r, decode_pair
+    from align3r_tpu.models.dpt_head import apply_dpt_head
+    from align3r_tpu.models.rope import make_grid_positions
+    from align3r_tpu.ops.attention import xla_attention
+
+    cfg = VIT_L_512
+    PB = 8                      # pairs per decode batch
+    H, W = 288, 512
+    gh, gw = H // 16, W // 16   # 18 x 32 = 576 tokens
+    N = gh * gw
+    key = jax.random.PRNGKey(0)
+
+    print(f"# shapes: pairs={PB}, N={N}, dec_dim={cfg.dec_embed_dim}, "
+          f"heads={cfg.dec_num_heads}, reps={args.reps}")
+
+    if "attn" in which or "all" in which:
+        # decoder attention shape: (B=2*PB, H=12, N, D=64) bf16
+        B, Hh, D = 2 * PB, cfg.dec_num_heads, cfg.dec_embed_dim // cfg.dec_num_heads
+        q = jax.random.normal(key, (B, Hh, N, D), jnp.bfloat16)
+        k = jax.random.normal(key, (B, Hh, N, D), jnp.bfloat16)
+        v = jax.random.normal(key, (B, Hh, N, D), jnp.bfloat16)
+        flops = 2 * 2 * B * Hh * N * N * D
+
+        dt = timed(lambda q, k, v: xla_attention(q, k, v), q, k, v, reps=args.reps)
+        print(f"xla_attention      {dt*1e3:8.3f} ms  {flops/dt/1e12:6.1f} TF/s")
+
+        def bf16_attn(q, k, v):
+            scale = D ** -0.5
+            logits = jnp.einsum("bhqd,bhkd->bhqk", q, k,
+                                preferred_element_type=jnp.bfloat16) * scale
+            m = jax.lax.stop_gradient(jnp.max(logits, -1, keepdims=True))
+            p = jnp.exp((logits - m).astype(jnp.float32)).astype(jnp.bfloat16)
+            s = jnp.sum(p.astype(jnp.float32), -1, keepdims=True)
+            out = jnp.einsum("bhqk,bhkd->bhqd", p, v,
+                             preferred_element_type=jnp.float32)
+            return (out / s).astype(q.dtype)
+
+        dt = timed(bf16_attn, q, k, v, reps=args.reps)
+        print(f"bf16-probs attn    {dt*1e3:8.3f} ms  {flops/dt/1e12:6.1f} TF/s")
+
+        try:
+            from jax.experimental.pallas.ops.tpu.flash_attention import (
+                flash_attention as stock_fa, SegmentIds, BlockSizes)
+            NP = 640  # pad 576 -> 5*128
+            pad = lambda t: jnp.pad(t, ((0, 0), (0, 0), (0, NP - N), (0, 0)))
+            qp, kp, vp = pad(q), pad(k), pad(v)
+            ids = (jnp.arange(NP) < N).astype(jnp.int32)[None].repeat(B, 0)
+            seg = SegmentIds(q=ids, kv=ids)
+
+            def stock(q, k, v):
+                o = stock_fa(q, k, v, segment_ids=seg, sm_scale=D ** -0.5)
+                return o
+
+            dt = timed(stock, qp, kp, vp, reps=args.reps)
+            print(f"stock flash (pad)  {dt*1e3:8.3f} ms  {flops/dt/1e12:6.1f} TF/s")
+        except Exception as e:  # noqa
+            print("stock flash failed:", repr(e)[:200])
+
+    params = init_align3r(jax.random.PRNGKey(0), cfg)
+    feat = jax.random.normal(key, (PB, N, cfg.enc_embed_dim), jnp.float32)
+    pcts = jax.random.normal(key, (2 * PB, N, cfg.dec_embed_dim), jnp.float32)
+    pos = make_grid_positions(gh, gw, batch=PB)
+    pc_pos = make_grid_positions(gh, gw, batch=2 * PB)
+
+    if "decode" in which or "all" in which:
+        def dec_only(feat, pcts):
+            h1, h2 = decode_pair(params, feat, pos, feat, pos, pcts, pc_pos,
+                                 cfg, jnp.bfloat16)
+            # chain: tiny scalar feedback keeps the loop honest
+            return feat + 0 * jnp.sum(h1[-1]).astype(feat.dtype)
+
+        dt = timed(dec_only, feat, pcts, reps=args.reps)
+        print(f"decoder-only       {dt*1e3:8.3f} ms  ({dt/PB*1e3:.2f} ms/pair)")
+
+    if "heads" in which or "all" in which:
+        hooks = [jax.random.normal(key, (PB, N, cfg.enc_embed_dim), jnp.float32)] + \
+            [jax.random.normal(key, (PB, N, cfg.dec_embed_dim), jnp.float32)
+             for _ in range(3)]
+
+        def heads_only(h0, rest):
+            r = apply_dpt_head(params["head1"], [h0] + rest, (gh, gw), (H, W),
+                               cfg.depth_mode, cfg.conf_mode)
+            return h0 + 0 * jnp.sum(r["pts3d"]).astype(h0.dtype)
+
+        dt = timed(heads_only, hooks[0], hooks[1:], reps=args.reps)
+        print(f"one-dpt-head       {dt*1e3:8.3f} ms  ({dt/PB*1e3:.2f} ms/pair)")
+
+    if "matmul" in which or "all" in which:
+        # ceiling check: one big bf16 matmul at decoder MLP size
+        M, Kd, Nd = 2 * PB * N, cfg.dec_embed_dim, 4 * cfg.dec_embed_dim
+        a = jax.random.normal(key, (M, Kd), jnp.bfloat16)
+        w = jax.random.normal(key, (Kd, Nd), jnp.bfloat16)
+
+        def mm2(a, w):
+            y = jnp.dot(a, w, preferred_element_type=jnp.bfloat16)
+            return jnp.dot(y, w.T, preferred_element_type=jnp.bfloat16)
+
+        dt = timed(mm2, a, w, reps=args.reps)
+        flops = 2 * 2 * M * Kd * Nd
+        print(f"mlp-pair matmul    {dt*1e3:8.3f} ms  {flops/dt/1e12:6.1f} TF/s")
+
+
+if __name__ == "__main__":
+    main()
