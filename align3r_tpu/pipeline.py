@@ -184,6 +184,8 @@ def reconstruct_scene(
     raft_params=None,
     dynamic_masks: Optional[np.ndarray] = None,
     use_self_mask: bool = False,
+    sam2_mask_refine: bool = False,
+    sam2_model=None,                       # optional (params, cfg) from load_hf_sam2_video
     init: str = "mst",
     init_priors=None,
     niter: int = 300,
@@ -220,6 +222,14 @@ def reconstruct_scene(
                 output, flow_ij, flow_ji,
                 motion_mask_thre=scene_kw.get("motion_mask_thre", 0.35),
                 min_conf_thr=cfg.min_conf_thr)
+            if sam2_mask_refine:
+                # SAM2 video refinement of the self-supervised motion masks
+                # (reference cloud_opt_flow/optimizer.py:237-312; falls back
+                # to connected-component cleanup without local SAM2 weights)
+                from align3r_tpu.models.sam2_refine import refine_motion_mask_w_sam2
+                sp, sc = sam2_model if sam2_model is not None else (None, None)
+                dynamic_masks = refine_motion_mask_w_sam2(
+                    imgs01, np.asarray(dynamic_masks), params=sp, cfg=sc)
         data = dataclasses.replace(
             data, flow_ij=jnp.asarray(flow_ij), flow_ji=jnp.asarray(flow_ji))
     if dynamic_masks is not None:

@@ -103,6 +103,64 @@ def test_reconstruct_flow_variant_with_raft(tiny_setup):
     assert scene.params["im_focals"].shape == (1,)  # shared focal
 
 
+def test_sam2_mask_refine_wiring(tiny_setup):
+    """--sam2_mask_refine routes the self-supervised motion masks through
+    refine_motion_mask_w_sam2 (reference cloud_opt_flow/optimizer.py:237-312)
+    and the refined masks are the ones the scene uses."""
+    cfg, params, imgs, priors = tiny_setup
+    raft_cfg = RAFTConfig(dim=32, radius=2, corr_levels=2, initial_dim=16,
+                          block_dims=(16, 24, 32), n_blocks=(1, 1, 1),
+                          num_refine=1, iters=2)
+    raft_params = init_raft(jax.random.PRNGKey(5), raft_cfg)
+    import align3r_tpu.pipeline as P
+    import align3r_tpu.models.sam2_refine as R
+
+    def tiny_flows(rp, imgs01, edges, chunk=12, iters=2):
+        from align3r_tpu.models.raft import raft_forward
+        ei = np.array([e[0] for e in edges]); ej = np.array([e[1] for e in edges])
+        a = jnp.asarray(imgs01[ei] * 255); b = jnp.asarray(imgs01[ej] * 255)
+        f = raft_forward(rp, a, b, raft_cfg, iters=1)
+        g = raft_forward(rp, b, a, raft_cfg, iters=1)
+        return np.asarray(f), np.asarray(g)
+
+    calls = []
+
+    def fake_refine(images01, masks, params=None, cfg=None, **kw):
+        calls.append(images01.shape)
+        return ~np.asarray(masks).astype(bool)   # marker: inversion
+
+    orig_flows, orig_refine = P.compute_raft_flows, R.refine_motion_mask_w_sam2
+    P.compute_raft_flows = tiny_flows
+    R.refine_motion_mask_w_sam2 = fake_refine
+    kw = dict(scene_graph="swin-1-noncyclic", variant="flow",
+              raft_params=raft_params, use_self_mask=True, niter=5, lr=0.01,
+              scene_kw=dict(shared_focal=True, flow_loss_weight=0.01,
+                            flow_loss_start_epoch=0.0, flow_loss_thre=-1))
+    try:
+        plain = reconstruct_scene(imgs, priors, params, cfg, **kw)
+        refined = reconstruct_scene(imgs, priors, params, cfg,
+                                    sam2_mask_refine=True, **kw)
+    finally:
+        P.compute_raft_flows = orig_flows
+        R.refine_motion_mask_w_sam2 = orig_refine
+    assert calls == [(4, 32, 48, 3)]
+    assert (np.asarray(refined.dynamic_masks)
+            == ~np.asarray(plain.dynamic_masks).astype(bool)).all()
+
+
+def test_sam2_refine_fallback_cleanup():
+    """Without local SAM2 weights, refinement degrades to connected-component
+    cleanup (islands/holes below min_area removed)."""
+    from align3r_tpu.models.sam2_refine import refine_motion_mask_w_sam2
+    m = np.zeros((2, 24, 24), bool)
+    m[:, 4:16, 4:16] = True
+    m[:, 8, 8] = False           # 1-px hole -> filled
+    m[:, 20, 20] = True          # 1-px island -> removed
+    imgs = np.random.default_rng(0).uniform(0, 1, (2, 24, 24, 3))
+    out = refine_motion_mask_w_sam2(imgs, m, min_area=4)
+    assert out[0, 8, 8] and not out[0, 20, 20]
+
+
 def test_reconstruct_hierarchical(tiny_setup):
     """Keyframe coarse solve + anchored per-clip solves cover every frame."""
     from align3r_tpu.pipeline import reconstruct_scene_hierarchical

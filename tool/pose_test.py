@@ -105,6 +105,7 @@ def main():
                 scene_graph=f"swinstride-{winsize}-noncyclic",
                 variant="flow", raft_params=raft_params,
                 use_self_mask=args.use_self_mask and not args.use_gt_mask,
+                sam2_mask_refine=args.sam2_mask_refine,
                 dynamic_masks=(stacked["dynamic_masks"] if args.use_gt_mask else None),
                 niter=args.niter, lr=args.lr, schedule=args.pose_schedule,
                 batch_size=args.batch_size, scene_kw=scene_kw)

@@ -9,6 +9,10 @@ Usage: python tool/profile_decode.py [--reps 20] [--which all]
 from __future__ import annotations
 
 import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import functools
 import time
 
