@@ -25,12 +25,20 @@ class DatasetMeta:
         lambda img_path, anno_path, seq: None
     mask_dir: Callable[[Optional[str], str], Optional[str]] = lambda mask_path, seq: None
     skip_if_done: bool = False
+    bottom_level: bool = False   # sequences = deepest dirs (get_bottom_level_directories)
+    seq_stride: int = 1          # e.g. FlyingThings3D TEST[::20] (depth_test.py:606)
 
     def sequences(self, full_seq: Optional[bool] = None) -> List[str]:
         full = self.full_seq if full_seq is None else full_seq
         if not full and self.seq_list:
             return list(self.seq_list)
         if os.path.isdir(self.img_path):
+            if self.bottom_level:
+                out = []
+                for root, dirs, _files in os.walk(self.img_path):
+                    if not dirs:
+                        out.append(os.path.relpath(root, self.img_path))
+                return sorted(out)[::self.seq_stride]
             return sorted(d for d in os.listdir(self.img_path)
                           if os.path.isdir(os.path.join(self.img_path, d)))
         return list(self.seq_list or [])
@@ -70,4 +78,12 @@ dataset_metadata = {
         anno_path="./data/sintel/training/camdata_left",
         traj_format="sintel", seq_list=SINTEL_SEQS, full_seq=True,
         gt_traj=lambda p, a, s: os.path.join(a, s)),
+    # video-depth protocols (reference depth_test.py:596-606): preprocessed
+    # *_rgb.jpg / *_depth.pfm layouts, deepest dirs are sequences
+    "PointOdyssey": DatasetMeta(
+        img_path="./data/PointOdyssey_proc/val", full_seq=True,
+        bottom_level=True),
+    "FlyingThings3D": DatasetMeta(
+        img_path="./data/SceneFlow/FlyingThings3D_proc/TEST", full_seq=True,
+        bottom_level=True, seq_stride=20),
 }

@@ -15,6 +15,32 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+def maybe_init_distributed() -> bool:
+    """Multi-host bring-up, the NCCL-process-group equivalent (reference
+    croco/utils/misc.py:222-243 reads RANK/WORLD_SIZE env vars and calls
+    init_process_group('nccl')).
+
+    Gated on env vars so single-host runs are untouched: set
+    ALIGN3R_COORDINATOR (host:port) plus ALIGN3R_NUM_PROCESSES and
+    ALIGN3R_PROCESS_ID, or rely on jax's own cluster auto-detection by
+    setting ALIGN3R_DIST=1 (TPU pods populate the cluster env themselves).
+    After this, jax.devices() spans all hosts and every Mesh built from it
+    carries gradient psums over ICI/DCN. Returns True if initialised.
+    """
+    import os
+    coord = os.environ.get("ALIGN3R_COORDINATOR")
+    auto = os.environ.get("ALIGN3R_DIST") == "1"
+    if not coord and not auto:
+        return False
+    kw = {}
+    if coord:
+        kw = dict(coordinator_address=coord,
+                  num_processes=int(os.environ["ALIGN3R_NUM_PROCESSES"]),
+                  process_id=int(os.environ["ALIGN3R_PROCESS_ID"]))
+    jax.distributed.initialize(**kw)
+    return True
+
+
 def make_mesh(n_data: Optional[int] = None, n_model: int = 1,
               devices: Optional[Sequence] = None) -> Mesh:
     devices = list(devices if devices is not None else jax.devices())

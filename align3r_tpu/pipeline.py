@@ -256,8 +256,18 @@ def reconstruct_scene(
                                            lr=lr, niter=niter,
                                            schedule=schedule, lr_min=lr_min,
                                            loss_fn=loss_fn)
+    losses = np.asarray(losses)
+    if not np.isfinite(losses).all():
+        # solve-loop sanitizer (the training loop's finite-loss assert
+        # equivalent; reference hardwires detect_anomaly, training.py:28).
+        # Raising here surfaces the divergence instead of emitting silent
+        # zero metrics through the per-sequence exception tolerance.
+        bad = int(np.flatnonzero(~np.isfinite(losses))[0])
+        raise FloatingPointError(
+            f"non-finite alignment loss at iter {bad}/{niter} "
+            f"(variant={variant}, n_imgs={cfg.n_imgs}, edges={cfg.n_edges})")
     return SceneResult(cfg=cfg, data=data, params=params,
-                       losses=np.asarray(losses), imgs=np.asarray(imgs),
+                       losses=losses, imgs=np.asarray(imgs),
                        dynamic_masks=dynamic_masks)
 
 

@@ -81,11 +81,16 @@ def train(args: TrainArgs):
 
     from align3r_tpu.models.config import Align3RConfig, VIT_L_512, TINY_TEST, parse_model_string
     from align3r_tpu.models.align3r import init_align3r
-    from align3r_tpu.parallel.mesh import make_mesh, data_sharding, replicated
+    from align3r_tpu.parallel.mesh import (
+        make_mesh, data_sharding, replicated, maybe_init_distributed)
     from align3r_tpu.training.data import get_data_loader
     from align3r_tpu.training.step import (
         make_lr_schedule, make_optimizer, make_train_step, make_eval_step,
         create_train_state, TrainState)
+
+    # multi-host hook (no-op unless ALIGN3R_DIST/ALIGN3R_COORDINATOR set;
+    # reference croco/utils/misc.py:222-243 init_distributed_mode)
+    maybe_init_distributed()
 
     os.makedirs(args.output_dir, exist_ok=True)
     log_path = os.path.join(args.output_dir, "log.txt")

@@ -63,3 +63,41 @@ def test_flash_cross_attention_different_kv_length():
     out = flash_attention(q, k, v, interpret=True)
     ref = xla_attention(q, k, v)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+class TestSmallAttention:
+    """ops/small_attention: the VMEM-resident kernel for Align3R shapes."""
+
+    def test_matches_xla(self):
+        import jax, jax.numpy as jnp
+        from align3r_tpu.ops.small_attention import small_attention
+        from align3r_tpu.ops.attention import xla_attention
+        k = jax.random.PRNGKey(0)
+        for (B, H, Nq, Nk, D), g in [((2, 3, 576, 576, 64), 4),
+                                     ((1, 2, 64, 128, 32), 4),
+                                     ((1, 3, 144, 144, 64), 2)]:
+            q = jax.random.normal(k, (B, H, Nq, D), jnp.float32)
+            kk = jax.random.normal(jax.random.PRNGKey(1), (B, H, Nk, D))
+            v = jax.random.normal(jax.random.PRNGKey(2), (B, H, Nk, D))
+            a = small_attention(q, kk, v, group=g)
+            b = xla_attention(q, kk, v)
+            assert float(jnp.abs(a - b).max()) < 1e-5, (B, H, Nq, Nk, D)
+
+    def test_bf16(self):
+        import jax, jax.numpy as jnp
+        from align3r_tpu.ops.small_attention import small_attention
+        from align3r_tpu.ops.attention import xla_attention
+        k = jax.random.PRNGKey(3)
+        q = jax.random.normal(k, (1, 4, 128, 64), jnp.bfloat16)
+        a = small_attention(q, q, q)
+        b = xla_attention(q, q, q)
+        assert a.dtype == jnp.bfloat16
+        assert float(jnp.abs(a.astype(jnp.float32) - b.astype(jnp.float32)).max()) < 2e-2
+
+    def test_supported_gate(self):
+        import jax, jax.numpy as jnp
+        from align3r_tpu.ops.small_attention import supported
+        mk = lambda n, d: jnp.zeros((1, 1, n, d), jnp.bfloat16)
+        assert supported(mk(576, 64), mk(576, 64), mk(576, 64))
+        assert not supported(mk(48, 16), mk(48, 16), mk(48, 16))      # tiny: XLA
+        assert not supported(mk(8192, 64), mk(8192, 64), mk(8192, 64))  # VMEM

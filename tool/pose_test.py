@@ -49,6 +49,10 @@ def get_args_parser():
     p.add_argument("--seq_list", nargs="+", default=None)
     p.add_argument("--n_proc", type=int, default=1)
     p.add_argument("--proc_id", type=int, default=0)
+    p.add_argument("--hierarchical", action="store_true", default=False,
+                   help="keyframe coarse solve + per-clip anchored solves "
+                        "(reference pose_test.py:300-549)")
+    p.add_argument("--clip_size", type=int, default=10)
     return p
 
 
@@ -100,23 +104,44 @@ def main():
                 flow_loss_start_epoch=args.flow_loss_start_epoch,
                 flow_loss_thre=args.flow_loss_thre,
                 min_conf_thr=args.min_conf_thr)
-            scene = reconstruct_scene(
-                stacked["imgs"], stacked["priors"], params, cfg,
-                scene_graph=f"swinstride-{winsize}-noncyclic",
+            common = dict(
                 variant="flow", raft_params=raft_params,
                 use_self_mask=args.use_self_mask and not args.use_gt_mask,
                 sam2_mask_refine=args.sam2_mask_refine,
-                dynamic_masks=(stacked["dynamic_masks"] if args.use_gt_mask else None),
                 niter=args.niter, lr=args.lr, schedule=args.pose_schedule,
                 batch_size=args.batch_size, scene_kw=scene_kw)
-
             seq_dir = os.path.join(args.output_dir, seq)
             os.makedirs(seq_dir, exist_ok=True)
-            pred_traj = poses_to_traj(scene.get_im_poses())
-            scene.save_tum_poses(os.path.join(seq_dir, "pred_traj.txt"))
-            scene.save_intrinsics(os.path.join(seq_dir, "pred_intrinsics.txt"))
-            scene.save_depth_maps(seq_dir)
-            scene.save_dynamic_masks(seq_dir)
+            if args.hierarchical:
+                # keyframe coarse solve + per-clip solves anchored via
+                # init_priors (reference pose_test.py:300-549, clip graphs
+                # from my_make_pairs:357-397)
+                from align3r_tpu.pipeline import reconstruct_scene_hierarchical
+                from align3r_tpu.eval.trajectory import save_tum_trajectory
+                clip_size = args.clip_size
+                while n % clip_size in (0, 1) or clip_size > n:
+                    clip_size -= 1
+                results, all_poses, all_depths = reconstruct_scene_hierarchical(
+                    stacked["imgs"], stacked["priors"], params, cfg,
+                    clip_size=clip_size, coarse_niter=args.niter,
+                    coarse_lr=args.lr, **common)
+                scene = results[-1]
+                pred_traj = poses_to_traj(all_poses)
+                save_tum_trajectory(pred_traj, os.path.join(seq_dir, "pred_traj.txt"))
+                scene.save_intrinsics(os.path.join(seq_dir, "pred_intrinsics.txt"))
+                for i, d in enumerate(all_depths):
+                    np.save(os.path.join(seq_dir, f"frame_{i:04d}.npy"), d)
+            else:
+                scene = reconstruct_scene(
+                    stacked["imgs"], stacked["priors"], params, cfg,
+                    scene_graph=f"swinstride-{winsize}-noncyclic",
+                    dynamic_masks=(stacked["dynamic_masks"] if args.use_gt_mask else None),
+                    **common)
+                pred_traj = poses_to_traj(scene.get_im_poses())
+                scene.save_tum_poses(os.path.join(seq_dir, "pred_traj.txt"))
+                scene.save_intrinsics(os.path.join(seq_dir, "pred_intrinsics.txt"))
+                scene.save_depth_maps(seq_dir)
+                scene.save_dynamic_masks(seq_dir)
 
             gt_file = meta.gt_traj(meta.img_path, meta.anno_path, seq)
             if gt_file and os.path.exists(gt_file):

@@ -20,7 +20,8 @@ import numpy as np
 
 
 def timed(fn, *args, reps):
-    """Compile, then time reps iterations chained in one scan."""
+    """Compile, then time reps iterations chained in one scan (for ~ms-scale
+    ops where per-call tunnel dispatch would dominate)."""
     import jax
     import jax.numpy as jnp
 
@@ -38,6 +39,22 @@ def timed(fn, *args, reps):
     t0 = time.perf_counter()
     out = loop(x0, rest)
     np.asarray(jnp.sum(jax.tree.leaves(out)[0]))
+    return (time.perf_counter() - t0) / reps
+
+
+def timed_calls(fn, *args, reps):
+    """Compile, then time reps separate dispatches (for >=50 ms stages whose
+    bodies already contain scans — wrapping those in another scan explodes
+    compile time; ~2 ms/call dispatch noise is <5% at this scale)."""
+    import jax
+    import jax.numpy as jnp
+    jfn = jax.jit(fn)
+    out = jfn(*args)
+    np.asarray(jnp.sum(jax.tree.leaves(out)[0]))
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        out = jfn(*args)
+        np.asarray(jnp.sum(jax.tree.leaves(out)[0]))
     return (time.perf_counter() - t0) / reps
 
 
@@ -92,6 +109,18 @@ def main():
         dt = timed(bf16_attn, q, k, v, reps=args.reps)
         print(f"bf16-probs attn    {dt*1e3:8.3f} ms  {flops/dt/1e12:6.1f} TF/s")
 
+        from align3r_tpu.ops.small_attention import small_attention
+        for g in (2, 4, 8):
+            for u in (False, True):
+                try:
+                    dt = timed(lambda q, k, v: small_attention(q, k, v, group=g,
+                                                               unroll=u),
+                               q, k, v, reps=args.reps)
+                    print(f"small_attn g={g} u={int(u)} {dt*1e3:8.3f} ms  "
+                          f"{flops/dt/1e12:6.1f} TF/s")
+                except Exception as e:  # noqa
+                    print(f"small_attn g={g} u={int(u)} failed:", repr(e)[:160])
+
         try:
             from jax.experimental.pallas.ops.tpu.flash_attention import (
                 flash_attention as stock_fa, SegmentIds, BlockSizes)
@@ -120,10 +149,9 @@ def main():
         def dec_only(feat, pcts):
             h1, h2 = decode_pair(params, feat, pos, feat, pos, pcts, pc_pos,
                                  cfg, jnp.bfloat16)
-            # chain: tiny scalar feedback keeps the loop honest
-            return feat + 0 * jnp.sum(h1[-1]).astype(feat.dtype)
+            return jnp.sum(h1[-1]) + jnp.sum(h2[-1])
 
-        dt = timed(dec_only, feat, pcts, reps=args.reps)
+        dt = timed_calls(dec_only, feat, pcts, reps=max(args.reps // 2, 5))
         print(f"decoder-only       {dt*1e3:8.3f} ms  ({dt/PB*1e3:.2f} ms/pair)")
 
     if "heads" in which or "all" in which:
@@ -134,9 +162,9 @@ def main():
         def heads_only(h0, rest):
             r = apply_dpt_head(params["head1"], [h0] + rest, (gh, gw), (H, W),
                                cfg.depth_mode, cfg.conf_mode)
-            return h0 + 0 * jnp.sum(r["pts3d"]).astype(h0.dtype)
+            return jnp.sum(r["pts3d"])
 
-        dt = timed(heads_only, hooks[0], hooks[1:], reps=args.reps)
+        dt = timed_calls(heads_only, hooks[0], hooks[1:], reps=max(args.reps // 2, 5))
         print(f"one-dpt-head       {dt*1e3:8.3f} ms  ({dt/PB*1e3:.2f} ms/pair)")
 
     if "matmul" in which or "all" in which:
