@@ -1,0 +1,225 @@
+"""Self-contained interactive HTML scene viewer (gradio-demo substitute).
+
+The reference ships a gradio app (dust3r/demo.py:1-283) that renders the
+fused point cloud + camera frusta in the browser via trimesh/gradio. Neither
+gradio nor trimesh is installable in a zero-egress environment, so instead
+we export one standalone .html file with the point cloud embedded as base64
+binary and a small inline WebGL renderer — open it in any browser, no
+server, no network, drag to orbit / wheel to zoom.
+
+Exported content mirrors the gradio demo's scene: conf-thresholded fused
+points with RGB colours, camera frusta, per-frame toggles.
+"""
+from __future__ import annotations
+
+import base64
+import json
+import os
+
+import numpy as np
+
+_TEMPLATE = """<!DOCTYPE html>
+<html><head><meta charset="utf-8"><title>Align3R scene</title>
+<style>
+ body {{ margin: 0; background: #111; color: #ddd; font: 13px sans-serif; }}
+ #hud {{ position: fixed; top: 8px; left: 8px; z-index: 2; }}
+ canvas {{ display: block; }}
+</style></head>
+<body>
+<div id="hud">{title} — {npts} pts, {ncams} cams | drag: orbit, wheel: zoom,
+ shift-drag: pan | <label><input type="checkbox" id="frusta" checked> frusta</label></div>
+<canvas id="gl"></canvas>
+<script>
+const PTS_B64 = "{pts_b64}";
+const COL_B64 = "{col_b64}";
+const CAMS = {cams_json};
+function unb64(s) {{
+  const raw = atob(s); const a = new Uint8Array(raw.length);
+  for (let i = 0; i < raw.length; i++) a[i] = raw.charCodeAt(i);
+  return a;
+}}
+const pts = new Float32Array(unb64(PTS_B64).buffer);
+const col = new Uint8Array(unb64(COL_B64).buffer);
+const N = pts.length / 3;
+
+const canvas = document.getElementById("gl");
+const gl = canvas.getContext("webgl");
+const vs = `attribute vec3 p; attribute vec3 c; uniform mat4 mvp;
+ varying vec3 vc; void main() {{ gl_Position = mvp * vec4(p, 1.0);
+ gl_PointSize = 2.0; vc = c; }}`;
+const fs = `precision mediump float; varying vec3 vc;
+ void main() {{ gl_FragColor = vec4(vc, 1.0); }}`;
+function shader(type, src) {{ const s = gl.createShader(type);
+ gl.shaderSource(s, src); gl.compileShader(s); return s; }}
+const prog = gl.createProgram();
+gl.attachShader(prog, shader(gl.VERTEX_SHADER, vs));
+gl.attachShader(prog, shader(gl.FRAGMENT_SHADER, fs));
+gl.linkProgram(prog); gl.useProgram(prog);
+
+const pbuf = gl.createBuffer();
+gl.bindBuffer(gl.ARRAY_BUFFER, pbuf);
+gl.bufferData(gl.ARRAY_BUFFER, pts, gl.STATIC_DRAW);
+const ap = gl.getAttribLocation(prog, "p");
+gl.enableVertexAttribArray(ap);
+gl.vertexAttribPointer(ap, 3, gl.FLOAT, false, 0, 0);
+const colf = new Float32Array(col.length);
+for (let i = 0; i < col.length; i++) colf[i] = col[i] / 255.0;
+const cbuf = gl.createBuffer();
+gl.bindBuffer(gl.ARRAY_BUFFER, cbuf);
+gl.bufferData(gl.ARRAY_BUFFER, colf, gl.STATIC_DRAW);
+const ac = gl.getAttribLocation(prog, "c");
+gl.enableVertexAttribArray(ac);
+gl.vertexAttribPointer(ac, 3, gl.FLOAT, false, 0, 0);
+
+// frusta as line segments
+let fverts = [];
+for (const cam of CAMS) {{
+  const T = cam.pose, f = cam.focal, s = cam.scale;
+  const w = s, h = s * 0.66, z = s * 1.2;
+  const corners = [[-w,-h,z],[w,-h,z],[w,h,z],[-w,h,z]];
+  const tf = (p) => [
+    T[0][0]*p[0]+T[0][1]*p[1]+T[0][2]*p[2]+T[0][3],
+    T[1][0]*p[0]+T[1][1]*p[1]+T[1][2]*p[2]+T[1][3],
+    T[2][0]*p[0]+T[2][1]*p[1]+T[2][2]*p[2]+T[2][3]];
+  const o = tf([0,0,0]); const cs = corners.map(tf);
+  for (let i = 0; i < 4; i++) {{
+    fverts.push(...o, ...cs[i], ...cs[i], ...cs[(i+1)%4]);
+  }}
+}}
+const fARR = new Float32Array(fverts);
+const fbuf = gl.createBuffer();
+gl.bindBuffer(gl.ARRAY_BUFFER, fbuf);
+gl.bufferData(gl.ARRAY_BUFFER, fARR, gl.STATIC_DRAW);
+
+let theta = 0.6, phi = 0.4, dist = 3.0, panX = 0, panY = 0;
+const center = {center_json};
+function mat() {{
+  const aspect = canvas.width / canvas.height;
+  const fov = 1.0, near = 0.01, far = 1000.0;
+  const fy = 1 / Math.tan(fov / 2);
+  const eye = [
+    center[0] + dist * Math.cos(phi) * Math.sin(theta),
+    center[1] + dist * Math.sin(phi),
+    center[2] + dist * Math.cos(phi) * Math.cos(theta)];
+  const f = norm3(sub3(center, eye));
+  const r = norm3(cross3(f, [0, -1, 0]));
+  const u = cross3(r, f);
+  const tx = -dot3(r, eye) + panX, ty = -dot3(u, eye) + panY, tz = dot3(f, eye);
+  const view = [
+    [r[0], r[1], r[2], tx], [u[0], u[1], u[2], ty],
+    [-f[0], -f[1], -f[2], -tz], [0, 0, 0, 1]];
+  const projm = [
+    [fy / aspect, 0, 0, 0], [0, fy, 0, 0],
+    [0, 0, (far + near) / (near - far), 2 * far * near / (near - far)],
+    [0, 0, -1, 0]];
+  const m = mul44(projm, view);
+  // column-major flatten for WebGL
+  const out = new Float32Array(16);
+  for (let c = 0; c < 4; c++) for (let rr = 0; rr < 4; rr++)
+    out[c * 4 + rr] = m[rr][c];
+  return out;
+}}
+function sub3(a, b) {{ return [a[0]-b[0], a[1]-b[1], a[2]-b[2]]; }}
+function dot3(a, b) {{ return a[0]*b[0]+a[1]*b[1]+a[2]*b[2]; }}
+function cross3(a, b) {{ return [a[1]*b[2]-a[2]*b[1], a[2]*b[0]-a[0]*b[2],
+  a[0]*b[1]-a[1]*b[0]]; }}
+function norm3(a) {{ const n = Math.hypot(a[0], a[1], a[2]) || 1;
+  return [a[0]/n, a[1]/n, a[2]/n]; }}
+function mul44(A, B) {{
+  const C = [[0,0,0,0],[0,0,0,0],[0,0,0,0],[0,0,0,0]];
+  for (let i = 0; i < 4; i++) for (let j = 0; j < 4; j++)
+    for (let k = 0; k < 4; k++) C[i][j] += A[i][k] * B[k][j];
+  return C; }}
+
+function draw() {{
+  canvas.width = window.innerWidth; canvas.height = window.innerHeight;
+  gl.viewport(0, 0, canvas.width, canvas.height);
+  gl.clearColor(0.07, 0.07, 0.07, 1); gl.clear(gl.COLOR_BUFFER_BIT);
+  gl.enable(gl.DEPTH_TEST);
+  const mvp = gl.getUniformLocation(prog, "mvp");
+  gl.uniformMatrix4fv(mvp, false, mat());
+  gl.bindBuffer(gl.ARRAY_BUFFER, pbuf);
+  gl.vertexAttribPointer(ap, 3, gl.FLOAT, false, 0, 0);
+  gl.bindBuffer(gl.ARRAY_BUFFER, cbuf);
+  gl.vertexAttribPointer(ac, 3, gl.FLOAT, false, 0, 0);
+  gl.drawArrays(gl.POINTS, 0, N);
+  if (document.getElementById("frusta").checked && fARR.length) {{
+    gl.bindBuffer(gl.ARRAY_BUFFER, fbuf);
+    gl.vertexAttribPointer(ap, 3, gl.FLOAT, false, 0, 0);
+    gl.disableVertexAttribArray(ac);
+    gl.vertexAttrib3f(ac, 1.0, 0.4, 0.2);
+    gl.drawArrays(gl.LINES, 0, fARR.length / 3);
+    gl.enableVertexAttribArray(ac);
+  }}
+}}
+let dragging = false, lx = 0, ly = 0, shift = false;
+canvas.addEventListener("mousedown", (e) => {{ dragging = true;
+  lx = e.clientX; ly = e.clientY; shift = e.shiftKey; }});
+window.addEventListener("mouseup", () => dragging = false);
+window.addEventListener("mousemove", (e) => {{
+  if (!dragging) return;
+  const dx = e.clientX - lx, dy = e.clientY - ly;
+  lx = e.clientX; ly = e.clientY;
+  if (shift) {{ panX += dx * 0.002 * dist; panY += dy * 0.002 * dist; }}
+  else {{ theta -= dx * 0.005;
+    phi = Math.min(1.5, Math.max(-1.5, phi + dy * 0.005)); }}
+  draw();
+}});
+canvas.addEventListener("wheel", (e) => {{
+  dist *= Math.exp(e.deltaY * 0.001); draw(); e.preventDefault(); }});
+document.getElementById("frusta").addEventListener("change", draw);
+window.addEventListener("resize", draw);
+draw();
+</script></body></html>
+"""
+
+
+def export_scene_html(pts3d: np.ndarray, colors: np.ndarray, masks,
+                      poses: np.ndarray, focals, path: str,
+                      title: str = "Align3R scene",
+                      max_points: int = 400_000) -> str:
+    """Write a standalone interactive viewer.
+
+    pts3d: (n, H, W, 3) world points; colors: (n, H, W, 3) in [0, 1];
+    masks: (n, H, W) bool (conf threshold); poses: (n, 4, 4) cam2world;
+    focals: (n,). Subsamples uniformly to max_points.
+    """
+    pts = np.asarray(pts3d).reshape(-1, 3)
+    cols = np.asarray(colors).reshape(-1, 3)
+    m = np.asarray(masks).reshape(-1).astype(bool)
+    pts, cols = pts[m], cols[m]
+    if len(pts) > max_points:
+        idx = np.linspace(0, len(pts) - 1, max_points).astype(int)
+        pts, cols = pts[idx], cols[idx]
+    pts = np.ascontiguousarray(pts, np.float32)
+    cols8 = np.ascontiguousarray(np.clip(cols * 255, 0, 255), np.uint8)
+
+    center = pts.mean(axis=0) if len(pts) else np.zeros(3)
+    spread = float(np.percentile(np.linalg.norm(pts - center, axis=1), 90)) \
+        if len(pts) else 1.0
+    cams = []
+    for i, T in enumerate(np.asarray(poses)):
+        f = float(np.asarray(focals).reshape(-1)[min(i, len(np.asarray(focals).reshape(-1)) - 1)])
+        cams.append({"pose": np.asarray(T, np.float64).tolist(),
+                     "focal": f, "scale": 0.05 * spread})
+
+    html = _TEMPLATE.format(
+        title=title, npts=len(pts), ncams=len(cams),
+        pts_b64=base64.b64encode(pts.tobytes()).decode(),
+        col_b64=base64.b64encode(cols8.tobytes()).decode(),
+        cams_json=json.dumps(cams),
+        center_json=json.dumps([float(x) for x in center]),
+    )
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    with open(path, "w") as fh:
+        fh.write(html)
+    return path
+
+
+def export_scene_result_html(scene, path: str, title: str = "Align3R scene"):
+    """Convenience wrapper over a pipeline.SceneResult."""
+    imgs01 = (scene.imgs * 0.5 + 0.5) if scene.imgs is not None else \
+        np.zeros(scene.get_pts3d().shape, np.float32)
+    return export_scene_html(scene.get_pts3d(), imgs01, scene.get_masks(),
+                             scene.get_im_poses(), scene.get_focals(),
+                             path, title=title)

@@ -65,6 +65,10 @@ def main():
         "unit": "pairs/s",
         "vs_baseline": round(pairs_per_sec / A100_REFERENCE_PAIRS_PER_SEC, 3),
         "alignment_iters_per_sec": round(align_ips, 1),
+        # the reference repo publishes no numbers; 8 pairs/s on A100 is a
+        # documented estimate (module docstring) — value (pairs/s) is the
+        # trustworthy figure
+        "baseline_is_estimate": True,
     }))
 
 

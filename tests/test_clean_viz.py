@@ -72,3 +72,26 @@ def test_camera_frustum_geometry():
     pts, edges = camera_frustum(pose, focal=100.0, cam_size=0.1)
     np.testing.assert_allclose(pts[0], [1, 2, 3])  # apex at camera centre
     assert len(edges) == 8
+
+
+def test_html_viewer_export(tmp_path):
+    """Standalone HTML scene viewer (gradio-demo substitute): one file,
+    embedded points/cameras, no external resources."""
+    import numpy as np
+    from align3r_tpu.eval.html_viewer import export_scene_html
+    rng = np.random.default_rng(0)
+    n, H, W = 2, 8, 12
+    pts = rng.standard_normal((n, H, W, 3)).astype(np.float32)
+    cols = rng.uniform(0, 1, (n, H, W, 3)).astype(np.float32)
+    masks = np.ones((n, H, W), bool)
+    masks[0, 0] = False
+    poses = np.stack([np.eye(4)] * n)
+    out = export_scene_html(pts, cols, masks, poses, np.array([100.0, 100.0]),
+                            str(tmp_path / "scene.html"), max_points=100)
+    html = open(out).read()
+    assert "<html" in html and "PTS_B64" in html and "drawArrays" in html
+    assert "http://" not in html and "https://" not in html  # self-contained
+    import base64, re
+    b64 = re.search(r'PTS_B64 = "([^"]*)"', html).group(1)
+    pts_dec = np.frombuffer(base64.b64decode(b64), np.float32)
+    assert pts_dec.size == 100 * 3 and np.isfinite(pts_dec).all()

@@ -106,6 +106,11 @@ def main():
         scene.save_conf_maps(out_dir)
         scene.save_dynamic_masks(out_dir)
         scene.save_rgb_imgs(out_dir)
+        # interactive standalone viewer (gradio-demo substitute,
+        # reference dust3r/demo.py:1-283)
+        from align3r_tpu.eval.html_viewer import export_scene_result_html
+        export_scene_result_html(scene, os.path.join(out_dir, "scene.html"),
+                                 title=args.seq_name)
     print(f"Processing completed. Output saved in {out_dir}")
 
 

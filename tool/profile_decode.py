@@ -146,12 +146,13 @@ def main():
     pc_pos = make_grid_positions(gh, gw, batch=2 * PB)
 
     if "decode" in which or "all" in which:
-        def dec_only(feat, pcts):
+        def dec_only(params, feat, pcts):
             h1, h2 = decode_pair(params, feat, pos, feat, pos, pcts, pc_pos,
                                  cfg, jnp.bfloat16)
             return jnp.sum(h1[-1]) + jnp.sum(h2[-1])
 
-        dt = timed_calls(dec_only, feat, pcts, reps=max(args.reps // 2, 5))
+        dt = timed_calls(dec_only, params, feat, pcts,
+                         reps=max(args.reps // 2, 5))
         print(f"decoder-only       {dt*1e3:8.3f} ms  ({dt/PB*1e3:.2f} ms/pair)")
 
     if "heads" in which or "all" in which:
@@ -159,13 +160,24 @@ def main():
             [jax.random.normal(key, (PB, N, cfg.dec_embed_dim), jnp.float32)
              for _ in range(3)]
 
-        def heads_only(h0, rest):
-            r = apply_dpt_head(params["head1"], [h0] + rest, (gh, gw), (H, W),
+        def heads_only(hp, h0, rest):
+            r = apply_dpt_head(hp, [h0] + rest, (gh, gw), (H, W),
                                cfg.depth_mode, cfg.conf_mode)
             return jnp.sum(r["pts3d"])
 
-        dt = timed_calls(heads_only, hooks[0], hooks[1:], reps=max(args.reps // 2, 5))
+        dt = timed_calls(heads_only, params["head1"], hooks[0], hooks[1:],
+                         reps=max(args.reps // 2, 5))
         print(f"one-dpt-head       {dt*1e3:8.3f} ms  ({dt/PB*1e3:.2f} ms/pair)")
+
+        def heads_bf16(hp, h0, rest):
+            r = apply_dpt_head(hp, [h0] + rest, (gh, gw), (H, W),
+                               cfg.depth_mode, cfg.conf_mode,
+                               dtype=jnp.bfloat16)
+            return jnp.sum(r["pts3d"])
+
+        dt = timed_calls(heads_bf16, params["head1"], hooks[0], hooks[1:],
+                         reps=max(args.reps // 2, 5))
+        print(f"one-dpt-head bf16  {dt*1e3:8.3f} ms  ({dt/PB*1e3:.2f} ms/pair)")
 
     if "matmul" in which or "all" in which:
         # ceiling check: one big bf16 matmul at decoder MLP size
