@@ -62,6 +62,10 @@ class SceneConfig:
     # bf16 fast path for the pairwise term (see _pairwise_pts_loss_bf16);
     # toggled per-scan by global_alignment_loop's precision schedule
     fast_solve: bool = False
+    # which fast-path implementation to use when fast_solve is set:
+    # 'fused' = Pallas fused edge-residual kernel (ops/edge_loss.py),
+    # 'xla' = one-hot bf16 einsum path, 'auto' = fused on TPU else xla
+    fast_impl: str = "auto"
 
     @property
     def n_focals(self) -> int:
@@ -98,6 +102,10 @@ class SceneData:
     flow_ij: Optional[jnp.ndarray] = None      # (E, H, W, 2) RAFT flow i->j
     flow_ji: Optional[jnp.ndarray] = None      # (E, H, W, 2) RAFT flow j->i
     init_depth: Optional[jnp.ndarray] = None   # (n, A) depths at init (regulariser)
+    # lane-packed observations for the fused Pallas edge kernel (pack_scene)
+    packed_pred: Optional[jnp.ndarray] = None  # (E2, 3, La, 128)
+    packed_w: Optional[jnp.ndarray] = None     # (E2, La, 128), 1/(E*A) folded in
+    packed_idx: Optional[jnp.ndarray] = None   # (E2,) int32
 
 
 def build_scene(output: Dict, cfg_kw: Dict | None = None,
@@ -249,6 +257,8 @@ def get_intrinsics(params, data: SceneData, cfg: SceneConfig):
 def pairwise_pts_loss(params, data: SceneData, cfg: SceneConfig, step=0):
     """The core per-edge L1 alignment loss (optimizer.py:223-241)."""
     if cfg.fast_solve:
+        if resolve_fast_impl(cfg) == "fused" and data.packed_pred is not None:
+            return _pairwise_pts_loss_fused(params, data, cfg)
         return _pairwise_pts_loss_bf16(params, data, cfg)
     pw = get_pw_poses(params, cfg)                           # (E, 4, 4)
     adapt = get_adaptors(params, cfg)[:, None, :]            # (E, 1, 3)
@@ -286,6 +296,69 @@ def _pairwise_pts_loss_bf16(params, data: SceneData, cfg: SceneConfig):
     A = data.grid.shape[0]
     return (di * data.weight_i).sum() / (data.ei.shape[0] * A) \
         + (dj * data.weight_j).sum() / (data.ej.shape[0] * A)
+
+
+def _edge_meta(cfg: SceneConfig, n_imgs=None):
+    """Static kernel geometry for the fused edge kernel (ops/edge_loss.py)."""
+    from align3r_tpu.ops import edge_loss as el
+    H, W = cfg.imshape
+    A = H * W
+    la0 = -(-A // 128)
+    e2 = 2 * cfg.n_edges
+    n = n_imgs or cfg.n_imgs
+    rb, eb = el.choose_blocks(n, e2, la0)
+    la = -(-la0 // rb) * rb
+    e2 = -(-e2 // eb) * eb
+    import jax as _jax
+    interpret = _jax.default_backend() not in ("tpu", "axon")
+    return el.EdgeMeta(n=n, e2=e2, la=la, rb=rb, eb=eb, interpret=interpret)
+
+
+def pack_scene(data: SceneData, cfg: SceneConfig,
+               dtype=jnp.bfloat16) -> SceneData:
+    """One-time packing of the frozen observations into the fused kernel's
+    lane layout (done before the solve; ~1 pass over the data)."""
+    from align3r_tpu.ops import edge_loss as el
+    meta = _edge_meta(cfg)
+    A = data.grid.shape[0]
+    E = data.ei.shape[0]
+    pred = jnp.concatenate([data.pred_i, data.pred_j], axis=0)     # (2E, A, 3)
+    w = jnp.concatenate([data.weight_i, data.weight_j], axis=0) / (E * A)
+    idx = jnp.concatenate([data.ei, data.ej], axis=0)
+    pred_p = el.pack_points(pred, meta.la, dtype)
+    w_p = el.pack_scalars(w, meta.la, dtype)
+    pad_e = meta.e2 - 2 * E
+    if pad_e:
+        pred_p = jnp.pad(pred_p, [(0, pad_e), (0, 0), (0, 0), (0, 0)])
+        w_p = jnp.pad(w_p, [(0, pad_e), (0, 0), (0, 0)])
+        idx = jnp.pad(idx, [(0, pad_e)])
+    return dataclasses.replace(data, packed_pred=pred_p, packed_w=w_p,
+                               packed_idx=idx.astype(jnp.int32))
+
+
+def _pairwise_pts_loss_fused(params, data: SceneData, cfg: SceneConfig):
+    """Same loss as `pairwise_pts_loss` via the fused Pallas edge-residual
+    kernel: no (E, A, 3) intermediates reach HBM, observations stream in
+    bf16, and all in-kernel arithmetic is fp32 (see ops/edge_loss.py)."""
+    from align3r_tpu.ops import edge_loss as el
+    meta = _edge_meta(cfg)
+    pw = get_pw_poses(params, cfg)                               # (E, 4, 4)
+    adapt = get_adaptors(params, cfg)                            # (E, 3)
+    pw34 = el.fold_pose_adaptors(pw, adapt)                      # (E, 3, 4)
+    pw34 = jnp.concatenate([pw34, pw34], axis=0)
+    pad_e = meta.e2 - pw34.shape[0]
+    if pad_e:
+        pw34 = jnp.pad(pw34, [(0, pad_e), (0, 0), (0, 0)])
+    proj = depth_to_pts3d(params, data, cfg)                     # (n, A, 3)
+    proj_p = el.pack_points(proj, meta.la, jnp.float32)
+    return el.edge_loss(meta, proj_p, pw34.astype(jnp.float32),
+                        data.packed_pred, data.packed_w, data.packed_idx)
+
+
+def resolve_fast_impl(cfg: SceneConfig) -> str:
+    if cfg.fast_impl != "auto":
+        return cfg.fast_impl
+    return "fused" if jax.default_backend() in ("tpu", "axon") else "xla"
 
 
 # --------------------------------------------------------------- the loop
@@ -327,6 +400,9 @@ def global_alignment_loop(params, masks, data: SceneData, cfg: SceneConfig,
     if precision == "fp32" or cfg.fast_solve:
         return _alignment_scan(params, masks, data, lrs, cfg, loss_fn)
     fast_cfg = dataclasses.replace(cfg, fast_solve=True)
+    if (resolve_fast_impl(cfg) == "fused" and data.packed_pred is None
+            and loss_fn is pairwise_pts_loss):
+        data = pack_scene(data, cfg)
     if precision == "bf16":
         return _alignment_scan(params, masks, data, lrs, fast_cfg, loss_fn)
     if precision != "mixed":

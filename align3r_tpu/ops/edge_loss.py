@@ -1,0 +1,281 @@
+"""Pallas TPU fused edge-residual kernel for the global-alignment solve.
+
+Computes the pairwise alignment loss (reference hot loop:
+/root/reference/dust3r/cloud_opt/optimizer.py:223-241,
+base_opt.py:344-371) in ONE fused kernel with a custom VJP:
+
+    loss = sum_e sum_a w[e,a] * || proj[idx[e], a] - (R[e] @ pred[e, a] + t[e]) ||
+
+without ever materialising the (E, A, 3) aligned/residual intermediates in
+HBM that bound the pure-XLA path (scene.py `_pairwise_pts_loss_bf16`).
+
+TPU-first design:
+- Observations are packed once per solve into a lane-friendly layout
+  (E2, 3, La, 128) where E2 = 2E stacks the i- and j-terms of every edge
+  into one flat edge list and A (=H*W) is padded and folded into
+  (La, 128) so the hardware tiles the (sublane, lane) dims with zero
+  padding waste (a trailing dim of 3 would pad 3 -> 8/16 sublanes).
+- Grid (A_tiles, E2/EB) with edges innermost: the per-A-tile `proj` block
+  (n, 3, RB, 128) and the backward's `d_proj` accumulator block keep the
+  SAME block index for the whole inner edge loop, so Mosaic keeps them
+  VMEM-resident (matmul-accumulator pattern) and per-iteration HBM traffic
+  collapses to ~one streaming read of the packed observations.
+- The pose application is 9 scalar multiplies + adds on (RB, 128) vector
+  registers (pure VPU; a (3,4) "matmul" would waste the MXU), with the
+  per-edge Sim(3) matrix and xyz adaptors pre-folded into one (3, 4)
+  matrix per edge term.
+- All in-kernel arithmetic is fp32 regardless of the storage dtype, so a
+  bf16-packed solve only quantises the frozen observations, not the
+  residual pipeline (better-conditioned than the all-bf16 XLA fast path).
+
+Gradients flow to `proj` (dense (n, 3, La, 128) accumulator) and to the
+folded (E2, 3, 4) pose matrices; the chain rule through pose decode /
+adaptors runs in plain JAX on those tiny arrays.  Observations and weights
+are frozen buffers (reference optimizer.py:55-71) and get zero cotangents.
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+EPS = 1e-12  # must match geometry.core.safe_norm
+
+
+@dataclasses.dataclass(frozen=True)
+class EdgeMeta:
+    """Static kernel geometry (hashable: used as nondiff custom_vjp arg)."""
+    n: int          # number of images
+    e2: int         # padded flat edge-term count (multiple of eb)
+    la: int         # padded A // 128 (multiple of rb)
+    rb: int         # sublane rows per A tile
+    eb: int         # edge terms per grid step
+    interpret: bool = False
+
+    @property
+    def a_tiles(self) -> int:
+        return self.la // self.rb
+
+    @property
+    def e_tiles(self) -> int:
+        return self.e2 // self.eb
+
+
+def choose_blocks(n: int, e2: int, la: int, vmem_budget: int = 9 * 2 ** 20):
+    """Pick (rb, eb) so the resident proj + d_proj blocks fit VMEM.
+
+    Backward VMEM ~= 2 buffers * n*3*rb*128 * (4 + 4) bytes (fp32 proj +
+    fp32 accumulator) + streamed pred/w blocks (eb * 4 * rb * 128 * dt).
+    """
+    eb = 8
+    rb = 16
+    for cand in (32, 64):
+        if (2 * n * 3 * cand * 128 * 8
+                + 2 * eb * 4 * cand * 128 * 4) <= vmem_budget:
+            rb = cand
+    return rb, eb
+
+
+def _pad_to(x, size, axis):
+    pad = size - x.shape[axis]
+    if pad == 0:
+        return x
+    cfg = [(0, 0)] * x.ndim
+    cfg[axis] = (0, pad)
+    return jnp.pad(x, cfg)
+
+
+def pack_points(pts, la: int, dtype):
+    """(..., A, 3) -> (..., 3, la, 128) padded with zeros."""
+    moved = jnp.moveaxis(pts, -1, -2)                      # (..., 3, A)
+    moved = _pad_to(moved, la * 128, -1)
+    return moved.reshape(*moved.shape[:-1], la, 128).astype(dtype)
+
+
+def unpack_points(packed, a: int):
+    """(..., 3, la, 128) -> (..., A, 3)."""
+    flat = packed.reshape(*packed.shape[:-2], -1)[..., :a]  # (..., 3, A)
+    return jnp.moveaxis(flat, -2, -1)
+
+
+def pack_scalars(x, la: int, dtype):
+    """(..., A) -> (..., la, 128) padded with zeros."""
+    x = _pad_to(x, la * 128, -1)
+    return x.reshape(*x.shape[:-1], la, 128).astype(dtype)
+
+
+# ------------------------------------------------------------------ kernels
+
+def _fwd_kernel(idx_ref, pw_ref, proj_ref, pred_ref, w_ref, out_ref, *, eb):
+    a, e = pl.program_id(0), pl.program_id(1)
+
+    @pl.when(jnp.logical_and(a == 0, e == 0))
+    def _():
+        out_ref[0, 0] = jnp.float32(0.0)
+
+    acc = jnp.float32(0.0)
+    for k in range(eb):  # unrolled: eb is small and static
+        i = idx_ref[e * eb + k]
+        pv = proj_ref[pl.ds(i, 1)][0].astype(jnp.float32)   # (3, RB, 128)
+        pd = pred_ref[k].astype(jnp.float32)                # (3, RB, 128)
+        w = w_ref[k].astype(jnp.float32)                    # (RB, 128)
+        m = pw_ref[k]                                       # (12,) fp32 in SMEM
+        sq = jnp.float32(0.0)
+        for c in range(3):
+            aligned = (m[4 * c] * pd[0] + m[4 * c + 1] * pd[1]
+                       + m[4 * c + 2] * pd[2] + m[4 * c + 3])
+            r = pv[c] - aligned
+            sq = sq + r * r
+        d = jnp.where(sq > 0, jnp.sqrt(jnp.maximum(sq, EPS)), 0.0)  # safe_norm
+        acc = acc + jnp.sum(w * d)
+    out_ref[0, 0] += acc
+
+
+def _bwd_kernel(idx_ref, g_ref, pw_ref, proj_ref, pred_ref, w_ref,
+                dproj_ref, dpw_ref, *, eb):
+    e = pl.program_id(1)
+
+    @pl.when(e == 0)
+    def _():
+        dproj_ref[...] = jnp.zeros_like(dproj_ref)
+
+    g = g_ref[0, 0]
+    for k in range(eb):
+        i = idx_ref[e * eb + k]
+        pv = proj_ref[pl.ds(i, 1)][0].astype(jnp.float32)
+        pd = pred_ref[k].astype(jnp.float32)
+        w = w_ref[k].astype(jnp.float32)
+        m = pw_ref[k]
+        al = [m[4 * c] * pd[0] + m[4 * c + 1] * pd[1]
+              + m[4 * c + 2] * pd[2] + m[4 * c + 3] for c in range(3)]
+        r = [pv[c] - al[c] for c in range(3)]
+        sq = r[0] * r[0] + r[1] * r[1] + r[2] * r[2]
+        # d(w * safe_norm(r)) / dr = w * r / sqrt(sq) where sq > eps else 0
+        scale = jnp.where(sq > EPS, g * w * jax.lax.rsqrt(sq), 0.0)
+        u = [scale * r[c] for c in range(3)]                # = d loss / d pv[c]
+        cur = dproj_ref[pl.ds(i, 1)][0]
+        dproj_ref[pl.ds(i, 1)] = (cur + jnp.stack(u))[None]
+        # d loss / d m[4c + j] = sum(-u_c * pd_j); / d t_c = sum(-u_c)
+        for c in range(3):
+            dpw_ref[0, k * 12 + 4 * c + 0] = jnp.sum(-u[c] * pd[0])
+            dpw_ref[0, k * 12 + 4 * c + 1] = jnp.sum(-u[c] * pd[1])
+            dpw_ref[0, k * 12 + 4 * c + 2] = jnp.sum(-u[c] * pd[2])
+            dpw_ref[0, k * 12 + 4 * c + 3] = jnp.sum(-u[c])
+
+
+# ------------------------------------------------------------- pallas calls
+
+def _common_in_specs(meta: EdgeMeta):
+    n, rb, eb = meta.n, meta.rb, meta.eb
+    return [
+        pl.BlockSpec((eb, 12), lambda a, e, *_s: (e, 0), memory_space=pltpu.SMEM),
+        pl.BlockSpec((n, 3, rb, 128), lambda a, e, *_s: (0, 0, a, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((eb, 3, rb, 128), lambda a, e, *_s: (e, 0, a, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((eb, rb, 128), lambda a, e, *_s: (e, a, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+
+
+def _cost(meta: EdgeMeta, itemsize: int, factor: int):
+    elems = meta.e2 * meta.la * 128
+    return pl.CostEstimate(
+        flops=factor * 30 * elems,
+        bytes_accessed=4 * elems * itemsize,
+        transcendentals=elems,
+    )
+
+
+def _fwd_call(meta: EdgeMeta, proj_p, pw34, pred_p, w_p, idx):
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(meta.a_tiles, meta.e_tiles),
+        in_specs=_common_in_specs(meta),
+        out_specs=pl.BlockSpec((1, 1), lambda a, e, *_s: (0, 0),
+                               memory_space=pltpu.SMEM),
+    )
+    out = pl.pallas_call(
+        functools.partial(_fwd_kernel, eb=meta.eb),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((1, 1), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary")),
+        cost_estimate=_cost(meta, pred_p.dtype.itemsize, 1),
+        interpret=meta.interpret,
+    )(idx, pw34.reshape(meta.e2, 12), proj_p, pred_p, w_p)
+    return out[0, 0]
+
+
+def _bwd_call(meta: EdgeMeta, g, proj_p, pw34, pred_p, w_p, idx):
+    n, rb, eb = meta.n, meta.rb, meta.eb
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(meta.a_tiles, meta.e_tiles),
+        in_specs=[pl.BlockSpec((1, 1), lambda a, e, *_s: (0, 0),
+                               memory_space=pltpu.SMEM)] + _common_in_specs(meta),
+        out_specs=[
+            pl.BlockSpec((n, 3, rb, 128), lambda a, e, *_s: (0, 0, a, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, eb * 12), lambda a, e, *_s: (a, e),
+                         memory_space=pltpu.SMEM),
+        ],
+    )
+    dproj, dpw_part = pl.pallas_call(
+        functools.partial(_bwd_kernel, eb=meta.eb),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((n, 3, meta.la, 128), jnp.float32),
+            jax.ShapeDtypeStruct((meta.a_tiles, meta.e2 * 12), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary")),
+        cost_estimate=_cost(meta, pred_p.dtype.itemsize, 2),
+        interpret=meta.interpret,
+    )(idx, jnp.reshape(g, (1, 1)).astype(jnp.float32),
+      pw34.reshape(meta.e2, 12), proj_p, pred_p, w_p)
+    return dproj, dpw_part.sum(axis=0).reshape(meta.e2, 3, 4)
+
+
+def fold_pose_adaptors(pw_poses_44, adaptors):
+    """(E, 4, 4) Sim(3) matrices + (E, 3) xyz scale adaptors -> (E, 3, 4)
+    with R @ diag(adapt) folded in (aligned = fold @ [pred; 1])."""
+    R = pw_poses_44[:, :3, :3] * adaptors[:, None, :]
+    return jnp.concatenate([R, pw_poses_44[:, :3, 3:4]], axis=-1)
+
+
+# ---------------------------------------------------------------- custom_vjp
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def edge_loss(meta: EdgeMeta, proj_p, pw34, pred_p, w_p, idx):
+    """Fused sum_e sum_a w * safe_norm(proj[idx[e]] - pw34[e] @ [pred; 1]).
+
+    proj_p: (n, 3, la, 128) packed world points (differentiated)
+    pw34:   (e2, 3, 4) folded pose (+adaptor) matrices (differentiated)
+    pred_p: (e2, 3, la, 128) packed frozen predictions
+    w_p:    (e2, la, 128) frozen weights (normalisation pre-folded, 0 padding)
+    idx:    (e2,) int32 image index per edge term
+    """
+    return _fwd_call(meta, proj_p, pw34, pred_p, w_p, idx)
+
+
+def _edge_loss_fwd(meta, proj_p, pw34, pred_p, w_p, idx):
+    loss = _fwd_call(meta, proj_p, pw34, pred_p, w_p, idx)
+    return loss, (proj_p, pw34, pred_p, w_p, idx)
+
+
+def _edge_loss_bwd(meta, res, g):
+    proj_p, pw34, pred_p, w_p, idx = res
+    dproj, dpw = _bwd_call(meta, g, proj_p, pw34, pred_p, w_p, idx)
+    zero_pred = jnp.zeros_like(pred_p)
+    zero_w = jnp.zeros_like(w_p)
+    zero_idx = np.zeros(idx.shape, dtype=jax.dtypes.float0)
+    return dproj.astype(proj_p.dtype), dpw, zero_pred, zero_w, zero_idx
+
+
+edge_loss.defvjp(_edge_loss_fwd, _edge_loss_bwd)

@@ -1,0 +1,132 @@
+"""Fused Pallas edge-residual kernel vs the reference XLA loss path.
+
+The kernel (ops/edge_loss.py) must reproduce `pairwise_pts_loss`
+(reference /root/reference/dust3r/cloud_opt/optimizer.py:223-241) exactly
+when packed at fp32, including gradients through poses, depths, focals,
+principal points and adaptors — and the full fused solve must recover the
+same solution as the fp32 solve on a synthetic scene.
+
+Runs in Pallas interpret mode on CPU (conftest forces the cpu platform).
+"""
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from align3r_tpu.alignment.scene import (
+    SceneConfig, build_scene, default_masks, global_alignment_loop,
+    init_params, pack_scene, pairwise_pts_loss, _pairwise_pts_loss_fused,
+)
+from align3r_tpu.inference.pairs import make_pairs
+from align3r_tpu.ops import edge_loss as el
+
+
+def _synthetic_scene(n=4, H=16, W=24, seed=0, graph="complete", **cfg_kw):
+    pairs = make_pairs(n, graph, symmetrize=True)
+    E = len(pairs)
+    ks = jax.random.split(jax.random.PRNGKey(seed), 4)
+    output = {
+        "view1": {"idx": np.array([p[0] for p in pairs])},
+        "view2": {"idx": np.array([p[1] for p in pairs])},
+        "pred1": {"pts3d": jax.random.normal(ks[0], (E, H, W, 3)),
+                  "conf": 1 + jax.random.uniform(ks[1], (E, H, W))},
+        "pred2": {"pts3d_in_other_view": jax.random.normal(ks[2], (E, H, W, 3)),
+                  "conf": 1 + jax.random.uniform(ks[3], (E, H, W))},
+    }
+    return build_scene(output, cfg_kw)
+
+
+def test_pack_unpack_roundtrip():
+    pts = jax.random.normal(jax.random.PRNGKey(0), (5, 200, 3))
+    packed = el.pack_points(pts, la=16, dtype=jnp.float32)
+    assert packed.shape == (5, 3, 16, 128)
+    np.testing.assert_allclose(np.asarray(el.unpack_points(packed, 200)),
+                               np.asarray(pts), rtol=0, atol=0)
+
+
+def test_fused_loss_and_grads_match_fp32():
+    cfg, data, params = _synthetic_scene()
+    data_p = pack_scene(data, cfg, dtype=jnp.float32)
+    ref = float(pairwise_pts_loss(params, data, cfg))
+    fused = float(_pairwise_pts_loss_fused(params, data_p, cfg))
+    assert abs(ref - fused) < 1e-5 * max(1.0, abs(ref))
+
+    g_ref = jax.grad(pairwise_pts_loss)(params, data, cfg)
+    g_f = jax.grad(_pairwise_pts_loss_fused)(params, data_p, cfg)
+    for k in g_ref:
+        a, b = np.asarray(g_ref[k]), np.asarray(g_f[k])
+        scale = max(np.abs(a).max(), 1e-6)
+        np.testing.assert_allclose(b, a, atol=3e-6 * scale, err_msg=k)
+
+
+def test_fused_loss_adaptors_and_mono():
+    """Adaptors enabled + mono scalemap depth parameterisation."""
+    pairs = make_pairs(3, "complete", symmetrize=True)
+    E, H, W = len(pairs), 16, 24
+    ks = jax.random.split(jax.random.PRNGKey(3), 5)
+    output = {
+        "view1": {"idx": np.array([p[0] for p in pairs])},
+        "view2": {"idx": np.array([p[1] for p in pairs])},
+        "pred1": {"pts3d": jax.random.normal(ks[0], (E, H, W, 3)),
+                  "conf": 1 + jax.random.uniform(ks[1], (E, H, W))},
+        "pred2": {"pts3d_in_other_view": jax.random.normal(ks[2], (E, H, W, 3)),
+                  "conf": 1 + jax.random.uniform(ks[3], (E, H, W))},
+    }
+    mono = 1 + jax.random.uniform(ks[4], (3, H * W))
+    cfg, data, params = build_scene(output, {"allow_pw_adaptors": True}, mono_depths=mono)
+    params["pw_adaptors"] = 0.1 * jax.random.normal(jax.random.PRNGKey(9), (E, 2))
+    data_p = pack_scene(data, cfg, dtype=jnp.float32)
+    ref = float(pairwise_pts_loss(params, data, cfg))
+    fused = float(_pairwise_pts_loss_fused(params, data_p, cfg))
+    assert abs(ref - fused) < 1e-5 * max(1.0, abs(ref))
+    g_ref = jax.grad(pairwise_pts_loss)(params, data, cfg)
+    g_f = jax.grad(_pairwise_pts_loss_fused)(params, data_p, cfg)
+    for k in ("scalemaps", "shifts", "pw_adaptors", "im_poses"):
+        a, b = np.asarray(g_ref[k]), np.asarray(g_f[k])
+        scale = max(np.abs(a).max(), 1e-6)
+        np.testing.assert_allclose(b, a, atol=3e-6 * scale, err_msg=k)
+
+
+def test_fused_loss_bf16_pack_close():
+    """bf16-packed observations with fp32 in-kernel compute stay close to
+    the fp32 loss (input quantisation only)."""
+    cfg, data, params = _synthetic_scene(seed=2)
+    data_p = pack_scene(data, cfg, dtype=jnp.bfloat16)
+    ref = float(pairwise_pts_loss(params, data, cfg))
+    fused = float(_pairwise_pts_loss_fused(params, data_p, cfg))
+    assert abs(ref - fused) / abs(ref) < 5e-3
+
+
+def test_fused_padding_edges_and_area():
+    """A not a multiple of 128*rb and 2E not a multiple of eb."""
+    cfg, data, params = _synthetic_scene(n=3, H=10, W=13, graph="complete")
+    assert (2 * cfg.n_edges) % 8 != 0 or (10 * 13) % 128 != 0
+    data_p = pack_scene(data, cfg, dtype=jnp.float32)
+    ref = float(pairwise_pts_loss(params, data, cfg))
+    fused = float(_pairwise_pts_loss_fused(params, data_p, cfg))
+    assert abs(ref - fused) < 1e-5 * max(1.0, abs(ref))
+    g_ref = jax.grad(pairwise_pts_loss)(params, data, cfg)
+    g_f = jax.grad(_pairwise_pts_loss_fused)(params, data_p, cfg)
+    for k in g_ref:
+        a, b = np.asarray(g_ref[k]), np.asarray(g_f[k])
+        scale = max(np.abs(a).max(), 1e-6)
+        np.testing.assert_allclose(b, a, atol=3e-6 * scale, err_msg=k)
+
+
+@pytest.mark.slow
+def test_fused_solve_matches_fp32_solution():
+    """Short fused-fast solve reaches the same loss basin as pure fp32."""
+    cfg, data, params = _synthetic_scene(n=3, H=12, W=16)
+    masks = default_masks(cfg, params)
+    niter = 60
+    p_ref, l_ref = global_alignment_loop(params, masks, data, cfg,
+                                         niter=niter, precision="fp32")
+    fused_cfg = dataclasses.replace(cfg, fast_impl="fused")
+    data_p = pack_scene(data, cfg, dtype=jnp.float32)
+    p_f, l_f = global_alignment_loop(params, masks, data_p, fused_cfg,
+                                     niter=niter, precision="mixed")
+    final_ref = float(pairwise_pts_loss(p_ref, data, cfg))
+    final_f = float(pairwise_pts_loss(p_f, data, cfg))
+    assert abs(final_ref - final_f) < 5e-3 * max(1.0, abs(final_ref))
