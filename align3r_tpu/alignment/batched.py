@@ -62,6 +62,12 @@ def batched_alignment(params_list, masks_list, datas, cfg: SceneConfig,
     precision as in scene.global_alignment_loop ('mixed' = bf16 then fp32).
     Returns (list of solved params dicts, losses (S, niter))."""
     import dataclasses
+    from align3r_tpu.alignment.scene import pack_scene, resolve_fast_impl
+    if (resolve_fast_impl(cfg) == "fused" and precision != "fp32"
+            and datas[0].packed_pred is None):
+        # one-time packing so the vmapped fast phase uses the fused Pallas
+        # edge kernel (its vmap batching rule adds a scene grid dimension)
+        datas = [pack_scene(d, cfg) for d in datas]
     data_s = stack_scenes(datas)
     params_s = stack_params(params_list)
     masks_s = stack_params(masks_list)

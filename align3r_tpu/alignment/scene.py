@@ -355,10 +355,19 @@ def _pairwise_pts_loss_fused(params, data: SceneData, cfg: SceneConfig):
                         data.packed_pred, data.packed_w, data.packed_idx)
 
 
+def fused_supported(cfg: SceneConfig) -> bool:
+    """The fused kernel keeps (n, 3, rb, 128) proj + d_proj blocks resident
+    in VMEM; for very image-heavy scenes that no longer fits."""
+    n = cfg.n_imgs
+    return 2 * n * 3 * 16 * 128 * 8 <= 12 * 2 ** 20
+
 def resolve_fast_impl(cfg: SceneConfig) -> str:
-    if cfg.fast_impl != "auto":
-        return cfg.fast_impl
-    return "fused" if jax.default_backend() in ("tpu", "axon") else "xla"
+    impl = cfg.fast_impl
+    if impl == "auto":
+        impl = "fused" if jax.default_backend() in ("tpu", "axon") else "xla"
+    if impl == "fused" and not fused_supported(cfg):
+        impl = "xla"
+    return impl
 
 
 # --------------------------------------------------------------- the loop
@@ -400,9 +409,8 @@ def global_alignment_loop(params, masks, data: SceneData, cfg: SceneConfig,
     if precision == "fp32" or cfg.fast_solve:
         return _alignment_scan(params, masks, data, lrs, cfg, loss_fn)
     fast_cfg = dataclasses.replace(cfg, fast_solve=True)
-    if (resolve_fast_impl(cfg) == "fused" and data.packed_pred is None
-            and loss_fn is pairwise_pts_loss):
-        data = pack_scene(data, cfg)
+    if resolve_fast_impl(cfg) == "fused" and data.packed_pred is None:
+        data = pack_scene(data, cfg)  # one-time; used by the pairwise term
     if precision == "bf16":
         return _alignment_scan(params, masks, data, lrs, fast_cfg, loss_fn)
     if precision != "mixed":

@@ -80,7 +80,7 @@ def init_align3r(key, cfg: Align3RConfig, dtype=jnp.float32) -> Params:
 
 def encode_images(params: Params, imgs: jnp.ndarray, cfg: Align3RConfig,
                   dtype=jnp.bfloat16, attn_impl: str = "auto",
-                  remat: bool = False):
+                  remat: bool = False, unroll: int = 1):
     """ViT encoder over a batch of images.
 
     imgs: (B, H, W, 3) NHWC, landscape. Returns (tokens (B, N, D) fp32,
@@ -101,7 +101,7 @@ def encode_images(params: Params, imgs: jnp.ndarray, cfg: Align3RConfig,
     def body(carry, layer_params):
         return block_fn(layer_params, carry, pos), None
 
-    x, _ = jax.lax.scan(body, x, params["enc_blocks"])
+    x, _ = jax.lax.scan(body, x, params["enc_blocks"], unroll=unroll)
     x = nn.layernorm(params["enc_norm"], x)
     return x.astype(jnp.float32), pos
 
@@ -122,13 +122,18 @@ def _zero_conv(p, x):
 
 def decode_pair(params: Params, feat1, pos1, feat2, pos2, pc_tokens, pc_pos,
                 cfg: Align3RConfig, dtype=jnp.bfloat16, attn_impl: str = "auto",
-                remat: bool = False):
+                remat: bool = False, stacked: bool = True, unroll: int = 1):
     """Dual cross-attending decoder with prior injection.
 
     feat1/feat2: (B, N, D_enc) encoder outputs; pc_tokens: (2B, N, D_dec)
     stacked prior tokens for [view1; view2]. Returns per-view hook lists
     [enc_out, dec_6, dec_9, dec_norm(dec_12)] in fp32 (hooks cfg.dpt_hooks()).
     Reference: dust3r/model.py:201-233.
+
+    stacked=True (default) executes both streams as one grouped computation
+    per layer (blocks.apply_decoder_block_stacked): half the ops in the
+    decode program, same math; stacked=False is the two-calls-per-layer
+    reference structure kept for A/B parity tests.
     """
     n_pc = cfg.n_pc_blocks
     hooks = cfg.dpt_hooks()  # [0, 6, 9, 12] for dec_depth 12
@@ -157,38 +162,75 @@ def decode_pair(params: Params, feat1, pos1, feat2, pos2, pc_tokens, pc_pos,
         dec_fn = jax.checkpoint(dec_fn)
         pc_fn = jax.checkpoint(pc_fn)
 
-    def body_pc(carry, layer):
-        f1, f2, pc1, pc2 = carry
-        p_dec, p_dec2, p_pc, p_zc = layer
-        nf1 = dec_fn(p_dec, f1, f2, pos1, pos2)
-        nf2 = dec_fn(p_dec2, f2, f1, pos2, pos1)
-        # prior branch update + zero-conv injection (model.py:223-226)
-        pc_cat = jnp.concatenate([pc1, pc2], axis=0)
-        pc_cat = pc_fn(p_pc, pc_cat, pc_pos)
-        npc1, npc2 = pc_cat[:B_], pc_cat[B_:]
-        nf1 = nf1 + _zero_conv(p_zc, npc1)
-        nf2 = nf2 + _zero_conv(p_zc, npc2)
-        return (nf1, nf2, npc1, npc2), (nf1, nf2)
-
-    def body_plain(carry, layer):
-        f1, f2 = carry
-        p_dec, p_dec2 = layer
-        nf1 = dec_fn(p_dec, f1, f2, pos1, pos2)
-        nf2 = dec_fn(p_dec2, f2, f1, pos2, pos1)
-        return (nf1, nf2), (nf1, nf2)
-
     take = lambda tree, lo, hi: jax.tree.map(lambda x: x[lo:hi], tree)
-    # segment A: layers [0, n_pc) with prior injection
-    segA = (take(params["dec_blocks"], 0, n_pc), take(params["dec_blocks2"], 0, n_pc),
-            params["dec_blocks_pc"], take(zc, 1, n_pc + 1))
-    (f1, f2, _, _), (ys1a, ys2a) = jax.lax.scan(body_pc, (f1, f2, pc1, pc2), segA)
-    # segment B: remaining layers
-    segB = (take(params["dec_blocks"], n_pc, cfg.dec_depth),
-            take(params["dec_blocks2"], n_pc, cfg.dec_depth))
-    (f1, f2), (ys1b, ys2b) = jax.lax.scan(body_plain, (f1, f2), segB)
 
-    ys1 = jnp.concatenate([ys1a, ys1b], axis=0)  # (dec_depth, B, N, D)
-    ys2 = jnp.concatenate([ys2a, ys2b], axis=0)
+    if stacked:
+        dec_s_fn = functools.partial(B.apply_decoder_block_stacked,
+                                     num_heads=cfg.dec_num_heads,
+                                     rope_base=cfg.effective_rope_base,
+                                     attn_impl=attn_impl)
+        if remat:
+            dec_s_fn = jax.checkpoint(dec_s_fn)
+        # per-layer params stacked over the stream axis: (L, 2, ...)
+        dec_lg = jax.tree.map(lambda a, b: jnp.stack([a, b], axis=1),
+                              params["dec_blocks"], params["dec_blocks2"])
+        f = jnp.stack([f1, f2])                        # (2, B, N, D)
+        pos_s = jnp.stack([pos1, pos2])                # (2, B, N, 2)
+        pc_cat0 = jnp.concatenate([pc1, pc2], axis=0)  # (2B, N, D)
+
+        def body_pc_s(carry, layer):
+            f, pc = carry
+            p_dec_s, p_pc, p_zc = layer
+            nf = dec_s_fn(p_dec_s, f, pos_s)
+            pc = pc_fn(p_pc, pc, pc_pos)
+            inj = _zero_conv(p_zc, pc)                 # (2B, N, D)
+            nf = nf + inj.reshape(2, B_, *inj.shape[1:])
+            return (nf, pc), nf
+
+        def body_plain_s(carry, p_dec_s):
+            nf = dec_s_fn(p_dec_s, carry, pos_s)
+            return nf, nf
+
+        segA = (take(dec_lg, 0, n_pc), params["dec_blocks_pc"],
+                take(zc, 1, n_pc + 1))
+        (f, _), ysa = jax.lax.scan(body_pc_s, (f, pc_cat0), segA, unroll=unroll)
+        (f), ysb = jax.lax.scan(body_plain_s, f, take(dec_lg, n_pc, cfg.dec_depth),
+                                unroll=unroll)
+        ys = jnp.concatenate([ysa, ysb], axis=0)       # (L, 2, B, N, D)
+        ys1, ys2 = ys[:, 0], ys[:, 1]
+    else:
+        def body_pc(carry, layer):
+            f1, f2, pc1, pc2 = carry
+            p_dec, p_dec2, p_pc, p_zc = layer
+            nf1 = dec_fn(p_dec, f1, f2, pos1, pos2)
+            nf2 = dec_fn(p_dec2, f2, f1, pos2, pos1)
+            # prior branch update + zero-conv injection (model.py:223-226)
+            pc_cat = jnp.concatenate([pc1, pc2], axis=0)
+            pc_cat = pc_fn(p_pc, pc_cat, pc_pos)
+            npc1, npc2 = pc_cat[:B_], pc_cat[B_:]
+            nf1 = nf1 + _zero_conv(p_zc, npc1)
+            nf2 = nf2 + _zero_conv(p_zc, npc2)
+            return (nf1, nf2, npc1, npc2), (nf1, nf2)
+
+        def body_plain(carry, layer):
+            f1, f2 = carry
+            p_dec, p_dec2 = layer
+            nf1 = dec_fn(p_dec, f1, f2, pos1, pos2)
+            nf2 = dec_fn(p_dec2, f2, f1, pos2, pos1)
+            return (nf1, nf2), (nf1, nf2)
+
+        # segment A: layers [0, n_pc) with prior injection
+        segA = (take(params["dec_blocks"], 0, n_pc),
+                take(params["dec_blocks2"], 0, n_pc),
+                params["dec_blocks_pc"], take(zc, 1, n_pc + 1))
+        (f1, f2, _, _), (ys1a, ys2a) = jax.lax.scan(body_pc, (f1, f2, pc1, pc2), segA)
+        # segment B: remaining layers
+        segB = (take(params["dec_blocks"], n_pc, cfg.dec_depth),
+                take(params["dec_blocks2"], n_pc, cfg.dec_depth))
+        (f1, f2), (ys1b, ys2b) = jax.lax.scan(body_plain, (f1, f2), segB)
+
+        ys1 = jnp.concatenate([ys1a, ys1b], axis=0)  # (dec_depth, B, N, D)
+        ys2 = jnp.concatenate([ys2a, ys2b], axis=0)
 
     def hook_list(enc_feat, ys):
         out = [enc_feat.astype(jnp.float32)]

@@ -151,6 +151,86 @@ def apply_decoder_block(p, x, y, xpos, ypos, num_heads: int, rope_base=100.0,
     return x
 
 
+# ------------------------------------------------- stacked dual-stream blocks
+#
+# The Align3R decoder runs TWO same-shape streams per layer (dec_blocks for
+# view1, dec_blocks2 for view2, reference dust3r/model.py:216-233). Executing
+# them as one grouped computation with a leading group axis g=2 halves the
+# number of ops in the decode program (one batched matmul per projection
+# instead of two) — the XLA scheduler has half the work and the MXU sees the
+# same per-group M=B*N. Cross-attention memory is simply the other stream:
+# y = flip(x, axis=0).
+
+def _gdense(p, x):
+    """Grouped dense: x (G, B, N, D), p['kernel'] (G, D, K)."""
+    out = jnp.einsum("gbnd,gdk->gbnk", x, p["kernel"].astype(x.dtype))
+    if "bias" in p:
+        out = out + p["bias"].astype(x.dtype)[:, None, None]
+    return out
+
+
+def _gln(p, x, eps: float = 1e-6):
+    """Grouped LayerNorm over the last dim; fp32 statistics (= nn.layernorm)."""
+    xf = x.astype(jnp.float32)
+    mu = xf.mean(axis=-1, keepdims=True)
+    var = ((xf - mu) ** 2).mean(axis=-1, keepdims=True)
+    y = (xf - mu) * jax.lax.rsqrt(var + eps)
+    y = (y * p["scale"].astype(jnp.float32)[:, None, None]
+         + p["bias"].astype(jnp.float32)[:, None, None])
+    return y.astype(x.dtype)
+
+
+def _gheads(x, num_heads):
+    G, B, N, C = x.shape
+    return x.reshape(G * B, N, num_heads, C // num_heads).transpose(0, 2, 1, 3)
+
+
+def _gunheads(x, G):
+    GB, H, N, D = x.shape
+    return x.transpose(0, 2, 1, 3).reshape(G, GB // G, N, H * D)
+
+
+def apply_decoder_block_stacked(p, x, xpos, num_heads: int, rope_base=100.0,
+                                attn_impl: str = "auto"):
+    """One decoder layer over both streams at once.
+
+    p: decoder-block params stacked over a leading G=2 axis (stream 1 =
+    dec_blocks[l], stream 2 = dec_blocks2[l]); x: (2, B, N, C); xpos:
+    (2, B, N, 2) positions per stream. The cross-attention memory for each
+    stream is the *other* stream's input (y = flip(x)), matching
+    apply_decoder_block(f1, f2) + apply_decoder_block(f2, f1).
+    """
+    G, B, N, C = x.shape
+    flat_pos = xpos.reshape(G * B, N, 2)
+    flip_pos = jnp.flip(xpos, axis=0).reshape(G * B, N, 2)
+    # cross-attn memory = the other stream's PRE-layer input (the unstacked
+    # path passes the scan carry f2 into stream 1's block and vice versa)
+    y = jnp.flip(x, axis=0)
+
+    # self-attention
+    h = _gln(p["norm1"], x)
+    qkv = _gdense(p["attn"]["qkv"], h)
+    q, k, v = (_gheads(t, num_heads) for t in jnp.split(qkv, 3, axis=-1))
+    out = _attend_with_rope(q, k, v, flat_pos, flat_pos, rope_base, attn_impl)
+    x = x + _gdense(p["attn"]["proj"], _gunheads(out, G))
+
+    # cross-attention: each stream's own projk/projv/norm_y applied to the
+    # other stream's tokens
+    y_ = _gln(p["norm_y"], y) if "norm_y" in p else y
+    ca = p["cross_attn"]
+    q = _gheads(_gdense(ca["projq"], _gln(p["norm2"], x)), num_heads)
+    k = _gheads(_gdense(ca["projk"], y_), num_heads)
+    v = _gheads(_gdense(ca["projv"], y_), num_heads)
+    out = _attend_with_rope(q, k, v, flat_pos, flip_pos, rope_base, attn_impl)
+    x = x + _gdense(ca["proj"], _gunheads(out, G))
+
+    # MLP
+    h = _gln(p["norm3"], x)
+    h = nn.gelu(_gdense(p["mlp"]["fc1"], h))
+    x = x + _gdense(p["mlp"]["fc2"], h)
+    return x
+
+
 # --------------------------------------------------------------- patch embed
 
 def init_patch_embed(key, patch_size: int, in_chans: int, embed_dim: int, dtype=jnp.float32):

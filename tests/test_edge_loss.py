@@ -115,6 +115,37 @@ def test_fused_padding_edges_and_area():
         np.testing.assert_allclose(b, a, atol=3e-6 * scale, err_msg=k)
 
 
+def test_fused_loss_vmaps_over_scenes():
+    """The batched multi-scene path vmaps the fused kernel (pallas batching
+    rule adds a scene grid dim); values and grads must match per-scene."""
+    from align3r_tpu.alignment.batched import stack_scenes, stack_params
+    scenes = [_synthetic_scene(n=3, H=12, W=16, seed=s) for s in (0, 1)]
+    packed = [(c, pack_scene(d, c, dtype=jnp.float32), p) for c, d, p in scenes]
+    cfg = packed[0][0]
+    ds = stack_scenes([d for _, d, _ in packed])
+    ps = stack_params([p for _, _, p in packed])
+    v = jax.vmap(lambda p, d: _pairwise_pts_loss_fused(p, d, cfg))(ps, ds)
+    g = jax.vmap(lambda p, d: jax.grad(_pairwise_pts_loss_fused)(p, d, cfg))(ps, ds)
+    for s, (c, d, p) in enumerate(packed):
+        ref = float(_pairwise_pts_loss_fused(p, d, c))
+        assert abs(float(v[s]) - ref) < 1e-6 * max(1.0, abs(ref))
+        g_ref = jax.grad(_pairwise_pts_loss_fused)(p, d, c)
+        for k in g_ref:
+            np.testing.assert_allclose(np.asarray(g[k])[s], np.asarray(g_ref[k]),
+                                       atol=1e-6, err_msg=k)
+
+
+def test_fused_fallback_large_scene():
+    """Scenes with too many images for resident VMEM blocks fall back to xla."""
+    import dataclasses as dc
+    from align3r_tpu.alignment.scene import resolve_fast_impl
+    cfg, _, _ = _synthetic_scene(n=3, H=12, W=16)
+    big = dc.replace(cfg, n_imgs=512, fast_impl="fused")
+    assert resolve_fast_impl(big) == "xla"
+    small = dc.replace(cfg, fast_impl="fused")
+    assert resolve_fast_impl(small) == "fused"
+
+
 @pytest.mark.slow
 def test_fused_solve_matches_fp32_solution():
     """Short fused-fast solve reaches the same loss basin as pure fp32."""

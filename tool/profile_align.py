@@ -44,13 +44,15 @@ def main():
     masks = default_masks(cfg, params)
     print(f"# frames={n} edges={E} A={H*W}")
 
+    import dataclasses
     results = {}
-    for name, kw in [("xla fp32", dict(precision="fp32", fused="off")),
-                     ("xla bf16", dict(precision="bf16", fused="off")),
-                     ("kernel bf16", dict(precision="bf16", fused="auto")),
-                     ("kernel mixed", dict(precision="mixed", fused="auto"))]:
-        run = lambda: global_alignment_loop(params, masks, data, cfg, lr=0.01,
-                                            niter=args.niter, **kw)
+    for name, precision, impl in [("xla fp32", "fp32", "xla"),
+                                  ("xla bf16", "bf16", "xla"),
+                                  ("kernel bf16", "bf16", "fused"),
+                                  ("kernel mixed", "mixed", "fused")]:
+        c = dataclasses.replace(cfg, fast_impl=impl)
+        run = lambda: global_alignment_loop(params, masks, data, c, lr=0.01,
+                                            niter=args.niter, precision=precision)
         p, losses = run()
         np.asarray(losses)
         t0 = time.perf_counter()
