@@ -71,17 +71,18 @@ def _residual_conv_unit(p, x):
     return out + x
 
 
-def _fusion(p, x, skip=None):
+def _fusion(p, x, skip=None, resize=nn.bilinear_resize):
     if skip is not None:
         x = x + _residual_conv_unit(p["res1"], skip)
     x = _residual_conv_unit(p["res2"], x)
     B, H, W, C = x.shape
-    x = nn.bilinear_resize(x, H * 2, W * 2, align_corners=True)
+    x = resize(x, H * 2, W * 2, align_corners=True)
     return nn.conv2d(p["out_conv"], x)
 
 
 def apply_dpt_head(p, hook_tokens: List[jnp.ndarray], grid_hw, img_hw,
-                   depth_mode=None, conf_mode=None, dtype=jnp.float32):
+                   depth_mode=None, conf_mode=None, dtype=jnp.float32,
+                   resize_impl: str = "gather"):
     """hook_tokens: 4 arrays (B, N, C_hook) at hooks [0, 2l/4, 3l/4, l];
     grid_hw: (nh, nw) patch grid; img_hw: (H, W) output resolution.
     Runs in fp32 by default (reference forces heads out of autocast,
@@ -92,6 +93,7 @@ def apply_dpt_head(p, hook_tokens: List[jnp.ndarray], grid_hw, img_hw,
     """
     nh, nw = grid_hw
     H, W = img_hw
+    resize = nn.bilinear_resize if resize_impl == "gather" else nn.bilinear_resize_mxu
     maps = [t.astype(dtype).reshape(t.shape[0], nh, nw, t.shape[-1])
             for t in hook_tokens]
 
@@ -106,13 +108,13 @@ def apply_dpt_head(p, hook_tokens: List[jnp.ndarray], grid_hw, img_hw,
     l3 = nn.conv2d(p["layer3_rn"], l3)
     l4 = nn.conv2d(p["layer4_rn"], l4)
 
-    path4 = _fusion(p["refinenet4"], l4)[:, :l3.shape[1], :l3.shape[2], :]
-    path3 = _fusion(p["refinenet3"], path4, l3)
-    path2 = _fusion(p["refinenet2"], path3, l2)
-    path1 = _fusion(p["refinenet1"], path2, l1)
+    path4 = _fusion(p["refinenet4"], l4, resize=resize)[:, :l3.shape[1], :l3.shape[2], :]
+    path3 = _fusion(p["refinenet3"], path4, l3, resize=resize)
+    path2 = _fusion(p["refinenet2"], path3, l2, resize=resize)
+    path1 = _fusion(p["refinenet1"], path2, l1, resize=resize)
 
     x = nn.conv2d(p["head_conv1"], path1)
-    x = nn.bilinear_resize(x, x.shape[1] * 2, x.shape[2] * 2, align_corners=True)
+    x = resize(x, x.shape[1] * 2, x.shape[2] * 2, align_corners=True)
     x = jax.nn.relu(nn.conv2d(p["head_conv2"], x))
     out = nn.conv2d(p["head_conv3"], x.astype(jnp.float32))
     out = out[:, :H, :W, :]

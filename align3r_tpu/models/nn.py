@@ -163,6 +163,36 @@ def bilinear_resize(x, out_h: int, out_w: int, align_corners: bool = True):
     return y.astype(dtype)
 
 
+def _interp_matrix(in_size: int, out_size: int, align_corners: bool):
+    """(out, in) bilinear interpolation matrix (two nonzeros per row)."""
+    import numpy as np
+    d = np.arange(out_size, dtype=np.float64)
+    if align_corners:
+        c = d * ((in_size - 1) / max(out_size - 1, 1)) if out_size > 1 else np.zeros(1)
+    else:
+        c = np.clip((d + 0.5) * (in_size / out_size) - 0.5, 0.0, in_size - 1)
+    lo = np.clip(np.floor(c).astype(np.int64), 0, in_size - 1)
+    hi = np.clip(lo + 1, 0, in_size - 1)
+    w = c - lo
+    m = np.zeros((out_size, in_size), np.float32)
+    m[np.arange(out_size), lo] += (1 - w)
+    m[np.arange(out_size), hi] += w
+    return m
+
+
+def bilinear_resize_mxu(x, out_h: int, out_w: int, align_corners: bool = True):
+    """Same semantics as bilinear_resize but as two constant-matrix matmuls
+    (runs on the MXU instead of gather chains on the VPU — an A/B candidate
+    for the DPT-head upsamples; see tool/profile_decode.py)."""
+    B, H, W, C = x.shape
+    dtype = x.dtype
+    mh = jnp.asarray(_interp_matrix(H, out_h, align_corners))
+    mw = jnp.asarray(_interp_matrix(W, out_w, align_corners))
+    y = jnp.einsum("oh,bhwc->bowc", mh, x.astype(jnp.float32))
+    y = jnp.einsum("ow,bhwc->bhoc", mw, y)   # (B, out_h, out_w, C)
+    return y.astype(dtype)
+
+
 def stack_layers(param_list: Sequence[dict]):
     """Stack per-layer param pytrees along a new leading axis (for lax.scan)."""
     return jax.tree.map(lambda *xs: jnp.stack(xs, axis=0), *param_list)

@@ -146,14 +146,17 @@ def main():
     pc_pos = make_grid_positions(gh, gw, batch=2 * PB)
 
     if "decode" in which or "all" in which:
-        def dec_only(params, feat, pcts):
-            h1, h2 = decode_pair(params, feat, pos, feat, pos, pcts, pc_pos,
-                                 cfg, jnp.bfloat16)
-            return jnp.sum(h1[-1]) + jnp.sum(h2[-1])
+        for label, kw in [("stacked u1 ", dict(stacked=True)),
+                          ("stacked u12", dict(stacked=True, unroll=12)),
+                          ("separate   ", dict(stacked=False))]:
+            def dec_only(params, feat, pcts, kw=kw):
+                h1, h2 = decode_pair(params, feat, pos, feat, pos, pcts, pc_pos,
+                                     cfg, jnp.bfloat16, **kw)
+                return jnp.sum(h1[-1]) + jnp.sum(h2[-1])
 
-        dt = timed_calls(dec_only, params, feat, pcts,
-                         reps=max(args.reps // 2, 5))
-        print(f"decoder-only       {dt*1e3:8.3f} ms  ({dt/PB*1e3:.2f} ms/pair)")
+            dt = timed_calls(dec_only, params, feat, pcts,
+                             reps=max(args.reps // 2, 5))
+            print(f"decoder {label}  {dt*1e3:8.3f} ms  ({dt/PB*1e3:.2f} ms/pair)")
 
     if "heads" in which or "all" in which:
         hooks = [jax.random.normal(key, (PB, N, cfg.enc_embed_dim), jnp.float32)] + \
@@ -178,6 +181,18 @@ def main():
         dt = timed_calls(heads_bf16, params["head1"], hooks[0], hooks[1:],
                          reps=max(args.reps // 2, 5))
         print(f"one-dpt-head bf16  {dt*1e3:8.3f} ms  ({dt/PB*1e3:.2f} ms/pair)")
+
+        for hd, label in ((jnp.float32, "mxu-resize     "),
+                          (jnp.bfloat16, "mxu-resize bf16")):
+            def heads_mxu(hp, h0, rest, hd=hd):
+                r = apply_dpt_head(hp, [h0] + rest, (gh, gw), (H, W),
+                                   cfg.depth_mode, cfg.conf_mode, dtype=hd,
+                                   resize_impl="mxu")
+                return jnp.sum(r["pts3d"])
+
+            dt = timed_calls(heads_mxu, params["head1"], hooks[0], hooks[1:],
+                             reps=max(args.reps // 2, 5))
+            print(f"one-dpt-head {label} {dt*1e3:8.3f} ms  ({dt/PB*1e3:.2f} ms/pair)")
 
     if "matmul" in which or "all" in which:
         # ceiling check: one big bf16 matmul at decoder MLP size
