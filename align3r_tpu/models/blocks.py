@@ -54,25 +54,24 @@ def _merge_heads(x):
 
 
 def _attend_with_rope(q, k, v, qpos, kpos, rope_base, attn_impl: str):
-    """Route to the Pallas fused RoPE-attention kernel when available, else
-    the pure-XLA path (rotate then softmax attention)."""
-    if attn_impl in ("auto", "pallas"):
-        from align3r_tpu.ops.flash_attention import (
-            flash_attention, rope2d_cos_sin, supported)
-        if attn_impl == "pallas" or supported(q, k, v):
-            D = q.shape[-1]
-            if rope_base is not None:
-                qc, qs = rope2d_cos_sin(qpos, D, rope_base, q.dtype)
-                if kpos is qpos:
-                    kc, ks = qc, qs
-                else:
-                    kc, ks = rope2d_cos_sin(kpos, D, rope_base, q.dtype)
-                return flash_attention(q, k, v, qc, qs, kc, ks)
-            return flash_attention(q, k, v)
+    """RoPE2D rotation (constant-matmul form) then attention via the
+    ops.attention dispatch ('auto' resolves to flash on TPU). 'pallas'
+    selects the in-repo fused RoPE+attention kernel (opt-in)."""
+    if attn_impl == "pallas":
+        from align3r_tpu.ops.flash_attention import flash_attention, rope2d_cos_sin
+        D = q.shape[-1]
+        if rope_base is not None:
+            qc, qs = rope2d_cos_sin(qpos, D, rope_base, q.dtype)
+            if kpos is qpos:
+                kc, ks = qc, qs
+            else:
+                kc, ks = rope2d_cos_sin(kpos, D, rope_base, q.dtype)
+            return flash_attention(q, k, v, qc, qs, kc, ks)
+        return flash_attention(q, k, v)
     if rope_base is not None:
         q = apply_rope2d(q, qpos, rope_base)
         k = apply_rope2d(k, kpos, rope_base)
-    return attention(q, k, v, impl="xla")
+    return attention(q, k, v, impl=attn_impl)
 
 
 def apply_attention(p, x, pos, num_heads: int, rope_base: float | None = 100.0,

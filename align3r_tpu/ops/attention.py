@@ -24,22 +24,64 @@ def xla_attention(q, k, v):
     return out.astype(q.dtype)
 
 
+# What 'auto' resolves to on the TPU backend. The XLA path materialises the
+# (B, H, N, N) fp32 logits in HBM (several GB per ViT-L decode batch across
+# 24 attention sites); 'flash' streams them through VMEM via the stock JAX
+# Pallas TPU flash-attention kernel. Flip to "flash" once profiled faster on
+# the target chip (tool/profile_decode.py --which attn).
+DEFAULT_TPU_IMPL = "flash"
+
+
+def flash_ok(q, k, v) -> bool:
+    B, H, Nq, D = q.shape
+    return (jax.default_backend() in ("tpu", "axon") and D in (64, 128, 256)
+            and q.dtype == k.dtype == v.dtype and Nq == k.shape[2])
+
+
+def stock_flash_attention(q, k, v):
+    """Stock JAX Pallas TPU flash attention with padding to 128-multiples.
+
+    q, k, v: (B, H, N, D). Sequence padded with an out-of-segment id so pad
+    keys are masked; pad-query rows are sliced away.
+    """
+    from jax.experimental.pallas.ops.tpu.flash_attention import (
+        flash_attention as fa, BlockSizes, SegmentIds)
+    B, H, N, D = q.shape
+    Np = -(-N // 128) * 128
+    scale = D ** -0.5
+    if Np != N:
+        pad = ((0, 0), (0, 0), (0, Np - N), (0, 0))
+        q, k, v = jnp.pad(q, pad), jnp.pad(k, pad), jnp.pad(v, pad)
+        ids = (jnp.arange(Np) < N).astype(jnp.int32)[None].repeat(B, 0)
+        seg = SegmentIds(q=ids, kv=ids)
+    else:
+        seg = None
+    blk = max(b for b in (512, 256, 128) if Np % b == 0)
+    bs = BlockSizes(block_q=blk, block_k_major=blk, block_k=blk, block_b=1,
+                    block_q_major_dkv=blk, block_k_major_dkv=blk,
+                    block_k_dkv=blk, block_q_dkv=blk,
+                    block_k_major_dq=blk, block_k_dq=blk, block_q_dq=blk)
+    out = fa(q, k, v, segment_ids=seg, sm_scale=scale, block_sizes=bs)
+    return out[:, :, :N].astype(q.dtype)
+
+
 def attention(q, k, v, impl: str = "auto"):
     """Dispatch attention implementation.
 
-    impl: 'auto' | 'xla' | 'pallas'. 'auto' uses the Pallas flash kernel on
-    TPU when shapes allow, else XLA.
+    impl: 'auto' | 'xla' | 'flash' | 'pallas'. 'auto' resolves to
+    DEFAULT_TPU_IMPL on TPU when shapes allow, else XLA. 'flash' is the
+    stock JAX Pallas TPU kernel (fwd+bwd); 'pallas' is the in-repo fused
+    RoPE kernel (opt-in, see ops/flash_attention.py).
     """
+    if impl == "auto":
+        impl = DEFAULT_TPU_IMPL if flash_ok(q, k, v) else "xla"
     if impl == "xla":
         return xla_attention(q, k, v)
-    if impl in ("auto", "pallas"):
-        try:
-            from align3r_tpu.ops.flash_attention import flash_attention, supported
-            if impl == "pallas" or supported(q, k, v):
-                return flash_attention(q, k, v)
-        except ImportError:
-            pass
-        if impl == "pallas":
-            raise RuntimeError("pallas flash attention unavailable for these shapes")
-        return xla_attention(q, k, v)
+    if impl == "flash":
+        if not flash_ok(q, k, v):
+            return xla_attention(q, k, v)
+        return stock_flash_attention(q, k, v)
+    if impl == "pallas":
+        from align3r_tpu.ops.flash_attention import flash_attention
+        return flash_attention(q, k, v)
     raise ValueError(f"unknown attention impl {impl!r}")
