@@ -401,15 +401,18 @@ def global_alignment_loop(params, masks, data: SceneData, cfg: SceneConfig,
     """Run the full Adam solve on device. Returns (params, losses (niter,)).
 
     precision: 'mixed' (default) runs the first 80% of iterations with the
-    bf16 fast pairwise term and polishes the rest in fp32 — 1.8x faster on
-    v5e with a final fp32 loss matching the pure-fp32 solve to ~4 decimals;
+    bf16 fast pairwise term and polishes the rest in fp32 — on the fused
+    kernel path the polish repacks the frozen observations in fp32 and stays
+    in-kernel (fp32 arithmetic throughout, so it is fp32-exact up to
+    reduction order) instead of falling back to the slow XLA gather path;
     'bf16' runs everything fast; 'fp32' is the reference-exact path.
     """
     lrs = jnp.asarray(schedule_array(schedule, niter, lr, lr_min))
     if precision == "fp32" or cfg.fast_solve:
         return _alignment_scan(params, masks, data, lrs, cfg, loss_fn)
     fast_cfg = dataclasses.replace(cfg, fast_solve=True)
-    if resolve_fast_impl(cfg) == "fused" and data.packed_pred is None:
+    fused = resolve_fast_impl(cfg) == "fused"
+    if fused and data.packed_pred is None:
         data = pack_scene(data, cfg)  # one-time; used by the pairwise term
     if precision == "bf16":
         return _alignment_scan(params, masks, data, lrs, fast_cfg, loss_fn)
@@ -420,7 +423,13 @@ def global_alignment_loop(params, masks, data: SceneData, cfg: SceneConfig,
         return _alignment_scan(params, masks, data, lrs, cfg, loss_fn)
     params, l1 = _alignment_scan(params, masks, data, lrs[:k], fast_cfg,
                                  loss_fn)
-    params, l2 = _alignment_scan(params, masks, data, lrs[k:], cfg, loss_fn)
+    if fused:
+        data = pack_scene(data, cfg, dtype=jnp.float32)
+        params, l2 = _alignment_scan(params, masks, data, lrs[k:], fast_cfg,
+                                     loss_fn)
+    else:
+        params, l2 = _alignment_scan(params, masks, data, lrs[k:], cfg,
+                                     loss_fn)
     return params, jnp.concatenate([l1, l2])
 
 

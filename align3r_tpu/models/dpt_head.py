@@ -82,7 +82,7 @@ def _fusion(p, x, skip=None, resize=nn.bilinear_resize):
 
 def apply_dpt_head(p, hook_tokens: List[jnp.ndarray], grid_hw, img_hw,
                    depth_mode=None, conf_mode=None, dtype=jnp.float32,
-                   resize_impl: str = "gather"):
+                   resize_impl: str = "mxu"):
     """hook_tokens: 4 arrays (B, N, C_hook) at hooks [0, 2l/4, 3l/4, l];
     grid_hw: (nh, nw) patch grid; img_hw: (H, W) output resolution.
     Runs in fp32 by default (reference forces heads out of autocast,
@@ -93,6 +93,9 @@ def apply_dpt_head(p, hook_tokens: List[jnp.ndarray], grid_hw, img_hw,
     """
     nh, nw = grid_hw
     H, W = img_hw
+    # 'mxu' expresses the bilinear upsamples as constant-matrix matmuls —
+    # measured 20% faster per head on v5e than the gather form (52.2 -> 42.0
+    # ms per 8-image batch, tool/profile_decode.py); numerics match to 1e-5.
     resize = nn.bilinear_resize if resize_impl == "gather" else nn.bilinear_resize_mxu
     maps = [t.astype(dtype).reshape(t.shape[0], nh, nw, t.shape[-1])
             for t in hook_tokens]

@@ -26,10 +26,11 @@ def xla_attention(q, k, v):
 
 # What 'auto' resolves to on the TPU backend. The XLA path materialises the
 # (B, H, N, N) fp32 logits in HBM (several GB per ViT-L decode batch across
-# 24 attention sites); 'flash' streams them through VMEM via the stock JAX
-# Pallas TPU flash-attention kernel. Flip to "flash" once profiled faster on
-# the target chip (tool/profile_decode.py --which attn).
-DEFAULT_TPU_IMPL = "flash"
+# 24 attention sites). Measured at Align3R decode shapes (16, 12, 576, 64)
+# on v5e: xla 2.26 ms, stock pallas flash (tuned blocks) 1.76 ms, in-repo
+# small_attention g=2 unrolled 1.72 ms -> 'small' wins (VMEM-resident
+# logits, no padding); see tool/profile_decode.py --which attn.
+DEFAULT_TPU_IMPL = "small"
 
 
 def flash_ok(q, k, v) -> bool:
@@ -74,9 +75,18 @@ def attention(q, k, v, impl: str = "auto"):
     RoPE kernel (opt-in, see ops/flash_attention.py).
     """
     if impl == "auto":
-        impl = DEFAULT_TPU_IMPL if flash_ok(q, k, v) else "xla"
+        from align3r_tpu.ops.small_attention import supported as small_ok
+        if jax.default_backend() in ("tpu", "axon") and small_ok(q, k, v):
+            impl = DEFAULT_TPU_IMPL
+        elif flash_ok(q, k, v):
+            impl = "flash"
+        else:
+            impl = "xla"
     if impl == "xla":
         return xla_attention(q, k, v)
+    if impl == "small":
+        from align3r_tpu.ops.small_attention import small_attention
+        return small_attention(q, k, v, group=2, unroll=True)
     if impl == "flash":
         if not flash_ok(q, k, v):
             return xla_attention(q, k, v)

@@ -124,7 +124,7 @@ def _fwd_kernel(idx_ref, pw_ref, proj_ref, pred_ref, w_ref, out_ref, *, eb):
         pv = proj_ref[pl.ds(i, 1)][0].astype(jnp.float32)   # (3, RB, 128)
         pd = pred_ref[k].astype(jnp.float32)                # (3, RB, 128)
         w = w_ref[k].astype(jnp.float32)                    # (RB, 128)
-        m = pw_ref[k]                                       # (12,) fp32 in SMEM
+        m = [pw_ref[k, j] for j in range(12)]               # SMEM scalar loads
         sq = jnp.float32(0.0)
         for c in range(3):
             aligned = (m[4 * c] * pd[0] + m[4 * c + 1] * pd[1]
@@ -138,19 +138,28 @@ def _fwd_kernel(idx_ref, pw_ref, proj_ref, pred_ref, w_ref, out_ref, *, eb):
 
 def _bwd_kernel(idx_ref, g_ref, pw_ref, proj_ref, pred_ref, w_ref,
                 dproj_ref, dpw_ref, *, eb):
-    e = pl.program_id(1)
+    a, e = pl.program_id(0), pl.program_id(1)
 
     @pl.when(e == 0)
     def _():
         dproj_ref[...] = jnp.zeros_like(dproj_ref)
 
+    @pl.when(jnp.logical_and(a == 0, e == 0))
+    def _():
+        dpw_ref[...] = jnp.zeros_like(dpw_ref)
+
     g = g_ref[0, 0]
+    # dpw rows live in lanes: row e*eb+k holds the 12 dL/dm values in lanes
+    # 0..11 (Mosaic forbids narrow SMEM output blocks; a VMEM-resident
+    # (e2, 128) accumulator with constant index map satisfies tiling and
+    # persists across the whole grid).
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
     for k in range(eb):
         i = idx_ref[e * eb + k]
         pv = proj_ref[pl.ds(i, 1)][0].astype(jnp.float32)
         pd = pred_ref[k].astype(jnp.float32)
         w = w_ref[k].astype(jnp.float32)
-        m = pw_ref[k]
+        m = [pw_ref[k, j] for j in range(12)]               # SMEM scalar loads
         al = [m[4 * c] * pd[0] + m[4 * c + 1] * pd[1]
               + m[4 * c + 2] * pd[2] + m[4 * c + 3] for c in range(3)]
         r = [pv[c] - al[c] for c in range(3)]
@@ -161,11 +170,14 @@ def _bwd_kernel(idx_ref, g_ref, pw_ref, proj_ref, pred_ref, w_ref,
         cur = dproj_ref[pl.ds(i, 1)][0]
         dproj_ref[pl.ds(i, 1)] = (cur + jnp.stack(u))[None]
         # d loss / d m[4c + j] = sum(-u_c * pd_j); / d t_c = sum(-u_c)
+        vec = jnp.zeros((1, 128), jnp.float32)
         for c in range(3):
-            dpw_ref[0, k * 12 + 4 * c + 0] = jnp.sum(-u[c] * pd[0])
-            dpw_ref[0, k * 12 + 4 * c + 1] = jnp.sum(-u[c] * pd[1])
-            dpw_ref[0, k * 12 + 4 * c + 2] = jnp.sum(-u[c] * pd[2])
-            dpw_ref[0, k * 12 + 4 * c + 3] = jnp.sum(-u[c])
+            vals = (jnp.sum(-u[c] * pd[0]), jnp.sum(-u[c] * pd[1]),
+                    jnp.sum(-u[c] * pd[2]), jnp.sum(-u[c]))
+            for j, v in enumerate(vals):
+                vec = vec + jnp.where(lane == 4 * c + j, v, 0.0)
+        row = e * eb + k
+        dpw_ref[pl.ds(row, 1)] = dpw_ref[pl.ds(row, 1)] + vec
 
 
 # ------------------------------------------------------------- pallas calls
@@ -222,16 +234,16 @@ def _bwd_call(meta: EdgeMeta, g, proj_p, pw34, pred_p, w_p, idx):
         out_specs=[
             pl.BlockSpec((n, 3, rb, 128), lambda a, e, *_s: (0, 0, a, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, eb * 12), lambda a, e, *_s: (a, e),
-                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((meta.e2, 128), lambda a, e, *_s: (0, 0),
+                         memory_space=pltpu.VMEM),
         ],
     )
-    dproj, dpw_part = pl.pallas_call(
+    dproj, dpw_rows = pl.pallas_call(
         functools.partial(_bwd_kernel, eb=meta.eb),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((n, 3, meta.la, 128), jnp.float32),
-            jax.ShapeDtypeStruct((meta.a_tiles, meta.e2 * 12), jnp.float32),
+            jax.ShapeDtypeStruct((meta.e2, 128), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary")),
@@ -239,7 +251,7 @@ def _bwd_call(meta: EdgeMeta, g, proj_p, pw34, pred_p, w_p, idx):
         interpret=meta.interpret,
     )(idx, jnp.reshape(g, (1, 1)).astype(jnp.float32),
       pw34.reshape(meta.e2, 12), proj_p, pred_p, w_p)
-    return dproj, dpw_part.sum(axis=0).reshape(meta.e2, 3, 4)
+    return dproj, dpw_rows[:, :12].reshape(meta.e2, 3, 4)
 
 
 def fold_pose_adaptors(pw_poses_44, adaptors):
