@@ -26,7 +26,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from align3r_tpu.models.align3r import encode_images, embed_point_cloud, decode_pair
+from align3r_tpu.models.align3r import (encode_images, embed_point_cloud,
+                                        decode_pair, stack_decoder_params)
 from align3r_tpu.models.config import Align3RConfig
 from align3r_tpu.models.dpt_head import apply_dpt_head
 from align3r_tpu.models.rope import make_grid_positions
@@ -86,6 +87,10 @@ def inference(pairs: Sequence[Tuple[int, int]], params, cfg: Align3RConfig,
     """
     n, H, W, _ = imgs.shape
     assert W >= H, "engine expects landscape images (pre-transpose portraits)"
+
+    # one-time decode prep: stream-stacked, bf16-kernel decoder weights
+    # (otherwise every decode program re-copies ~900 MB of fp32 weights)
+    params = stack_decoder_params(params, dtype)
 
     # 1-2) per-image encoder + prior embed, chunked to bound memory
     feats_l, pc_l = [], []

@@ -171,12 +171,17 @@ def decode_pair(params: Params, feat1, pos1, feat2, pos2, pc_tokens, pc_pos,
                                      attn_impl=attn_impl)
         if remat:
             dec_s_fn = jax.checkpoint(dec_s_fn)
-        # per-layer params stacked over the stream axis: (L, 2, ...)
-        dec_lg = jax.tree.map(lambda a, b: jnp.stack([a, b], axis=1),
-                              params["dec_blocks"], params["dec_blocks2"])
+        # per-layer params stacked over the stream axis: (L, 2, ...).
+        # stack_decoder_params pre-computes this once per weight set; the
+        # inline fallback re-copies the decoder weights inside every decode
+        # program (measured ~7% of decode device time at ViT-L).
+        dec_lg = params.get("dec_blocks_lg")
+        if dec_lg is None:
+            dec_lg = jax.tree.map(lambda a, b: jnp.stack([a, b], axis=1),
+                                  params["dec_blocks"], params["dec_blocks2"])
         f = jnp.stack([f1, f2])                        # (2, B, N, D)
         pos_s = jnp.stack([pos1, pos2])                # (2, B, N, 2)
-        pc_cat0 = jnp.concatenate([pc1, pc2], axis=0)  # (2B, N, D)
+        pc = jnp.concatenate([pc1, pc2], axis=0)       # (2B, N, D)
 
         def body_pc_s(carry, layer):
             f, pc = carry
@@ -185,19 +190,34 @@ def decode_pair(params: Params, feat1, pos1, feat2, pos2, pc_tokens, pc_pos,
             pc = pc_fn(p_pc, pc, pc_pos)
             inj = _zero_conv(p_zc, pc)                 # (2B, N, D)
             nf = nf + inj.reshape(2, B_, *inj.shape[1:])
-            return (nf, pc), nf
+            return (nf, pc), None
 
         def body_plain_s(carry, p_dec_s):
-            nf = dec_s_fn(p_dec_s, carry, pos_s)
-            return nf, nf
+            return dec_s_fn(p_dec_s, carry, pos_s), None
 
-        segA = (take(dec_lg, 0, n_pc), params["dec_blocks_pc"],
-                take(zc, 1, n_pc + 1))
-        (f, _), ysa = jax.lax.scan(body_pc_s, (f, pc_cat0), segA, unroll=unroll)
-        (f), ysb = jax.lax.scan(body_plain_s, f, take(dec_lg, n_pc, cfg.dec_depth),
-                                unroll=unroll)
-        ys = jnp.concatenate([ysa, ysb], axis=0)       # (L, 2, B, N, D)
-        ys1, ys2 = ys[:, 0], ys[:, 1]
+        # Segmented scans with cut points at the prior-branch boundary and at
+        # every DPT hook: only hook-layer activations leave the loop. The
+        # previous single-ys form accumulated EVERY layer's (2,B,N,D) output
+        # via dynamic-update-slice (~19% of decode device time at ViT-L) just
+        # to slice out 3 of 12 layers afterwards.
+        cuts = sorted({n_pc, *hooks[1:]})
+        cuts = [c for c in cuts if 0 < c <= cfg.dec_depth]
+        captured = {}
+        lo = 0
+        for hi in cuts:
+            if hi <= n_pc:
+                seg = (take(dec_lg, lo, hi),
+                       take(params["dec_blocks_pc"], lo, hi),
+                       take(zc, lo + 1, hi + 1))
+                (f, pc), _ = jax.lax.scan(body_pc_s, (f, pc), seg,
+                                          unroll=unroll)
+            else:
+                f, _ = jax.lax.scan(body_plain_s, f, take(dec_lg, lo, hi),
+                                    unroll=unroll)
+            captured[hi] = f
+            lo = hi
+        ymap1 = {h: captured[h][0] for h in hooks[1:]}
+        ymap2 = {h: captured[h][1] for h in hooks[1:]}
     else:
         def body_pc(carry, layer):
             f1, f2, pc1, pc2 = carry
@@ -231,16 +251,46 @@ def decode_pair(params: Params, feat1, pos1, feat2, pos2, pc_tokens, pc_pos,
 
         ys1 = jnp.concatenate([ys1a, ys1b], axis=0)  # (dec_depth, B, N, D)
         ys2 = jnp.concatenate([ys2a, ys2b], axis=0)
+        ymap1 = {h: ys1[h - 1] for h in hooks[1:]}
+        ymap2 = {h: ys2[h - 1] for h in hooks[1:]}
 
-    def hook_list(enc_feat, ys):
+    def hook_list(enc_feat, ymap):
         out = [enc_feat.astype(jnp.float32)]
         for h in hooks[1:-1]:
-            out.append(ys[h - 1].astype(jnp.float32))
-        final = nn.layernorm(params["dec_norm"], ys[hooks[-1] - 1])
+            out.append(ymap[h].astype(jnp.float32))
+        final = nn.layernorm(params["dec_norm"], ymap[hooks[-1]])
         out.append(final.astype(jnp.float32))
         return out
 
-    return hook_list(feat1, ys1), hook_list(feat2, ys2)
+    return hook_list(feat1, ymap1), hook_list(feat2, ymap2)
+
+
+def stack_decoder_params(params: Params, dtype=jnp.bfloat16) -> Params:
+    """One-time decode prep: adds 'dec_blocks_lg', the two decoder streams'
+    per-layer params stacked over a stream axis ((L, 2, ...) leaves), with
+    matmul kernels pre-cast to the compute dtype.
+
+    decode_pair's grouped path needs this interleaved layout; building it
+    inside the jitted decode program re-copies the full decoder weight set
+    (~900 MB fp32 at ViT-L) every call. Pre-casting kernels to bf16 also
+    halves their HBM read traffic per layer; numerics are unchanged because
+    the block functions cast kernels to the activation dtype at use anyway
+    (LayerNorm params and biases stay fp32).
+    """
+    if "dec_blocks_lg" in params:
+        return params
+
+    def cast_kernels(node):
+        if isinstance(node, dict):
+            return {k: (v.astype(dtype) if k == "kernel" else cast_kernels(v))
+                    for k, v in node.items()}
+        return node
+
+    lg = jax.tree.map(lambda a, b: jnp.stack([a, b], axis=1),
+                      params["dec_blocks"], params["dec_blocks2"])
+    out = dict(params)
+    out["dec_blocks_lg"] = cast_kernels(lg)
+    return out
 
 
 # ---------------------------------------------------------------- forward

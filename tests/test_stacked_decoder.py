@@ -48,6 +48,26 @@ def test_stacked_decoder_bf16_close(setup):
                                    atol=0.15, rtol=0.1)
 
 
+def test_prestacked_params_bitexact(setup):
+    """stack_decoder_params (engine one-time prep) must not change results:
+    fp32 compute with fp32-prestacked kernels is bit-exact; the engine's
+    bf16 prestack matches the plain bf16 path exactly (the inline path casts
+    kernels to bf16 at use anyway)."""
+    from align3r_tpu.models.align3r import stack_decoder_params
+    cfg, params, args = setup
+    h1a, h2a = decode_pair(params, *args, cfg, dtype=jnp.float32, stacked=True)
+    pf = stack_decoder_params(params, dtype=jnp.float32)
+    h1b, h2b = decode_pair(pf, *args, cfg, dtype=jnp.float32, stacked=True)
+    for a, b in zip(h1a + h2a, h1b + h2b):
+        assert float(jnp.abs(a - b).max()) == 0.0
+
+    h1c, _ = decode_pair(params, *args, cfg, dtype=jnp.bfloat16, stacked=True)
+    pb = stack_decoder_params(params, dtype=jnp.bfloat16)
+    h1d, _ = decode_pair(pb, *args, cfg, dtype=jnp.bfloat16, stacked=True)
+    for a, b in zip(h1c, h1d):
+        assert float(jnp.abs(a - b).max()) == 0.0
+
+
 def test_stacked_decoder_remat(setup):
     cfg, params, args = setup
     h1a, _ = decode_pair(params, *args, cfg, dtype=jnp.float32, stacked=True)
