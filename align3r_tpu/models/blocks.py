@@ -71,12 +71,28 @@ def _attend_with_rope(q, k, v, qpos, kpos, rope_base, attn_impl: str):
     if rope_base is not None:
         q = apply_rope2d(q, qpos, rope_base)
         k = apply_rope2d(k, kpos, rope_base)
+    if attn_impl == "fused":   # site-level fusion handled by the caller;
+        attn_impl = "auto"     # if it leaks this far, fall back gracefully
     return attention(q, k, v, impl=attn_impl)
 
 
 def apply_attention(p, x, pos, num_heads: int, rope_base: float | None = 100.0,
                     attn_impl: str = "auto"):
     """Self-attention with RoPE2D on q, k. x: (B, N, C); pos: (B, N, 2)."""
+    if attn_impl == "fused":
+        from align3r_tpu.ops.fused_site import attention_site, supported
+        if supported(x[None], num_heads):
+            C = x.shape[-1]
+            qk = p["qkv"]["kernel"][None]
+            qb = p["qkv"].get("bias")
+            qb = (jnp.zeros((3 * C,), jnp.float32) if qb is None else qb)[None]
+            wq, wk, wv = (qk[:, :, i * C:(i + 1) * C] for i in range(3))
+            bq, bk, bv = (qb[:, i * C:(i + 1) * C] for i in range(3))
+            out = attention_site(x[None], x[None], wq, wk, wv,
+                                 p["proj"]["kernel"][None], bq, bk, bv,
+                                 p["proj"]["bias"][None], pos[0], num_heads,
+                                 rope_base)
+            return out[0]
     qkv = nn.dense(p["qkv"], x)
     q, k, v = jnp.split(qkv, 3, axis=-1)
     q, k, v = (_split_heads(t, num_heads) for t in (q, k, v))
@@ -205,6 +221,42 @@ def apply_decoder_block_stacked(p, x, xpos, num_heads: int, rope_base=100.0,
     # cross-attn memory = the other stream's PRE-layer input (the unstacked
     # path passes the scan carry f2 into stream 1's block and vice versa)
     y = jnp.flip(x, axis=0)
+
+    if attn_impl == "fused":
+        # whole attention sites (qkv+RoPE+attn+proj) as single Pallas
+        # programs; requires one shared position grid across rows (engine
+        # batches guarantee this — see ops/fused_site.py)
+        from align3r_tpu.ops.fused_site import attention_site, supported
+        if not supported(x, num_heads):
+            return apply_decoder_block_stacked(p, x, xpos, num_heads,
+                                               rope_base, attn_impl="auto")
+        pos0 = xpos[0, 0]
+        qk, qb = p["attn"]["qkv"]["kernel"], p["attn"]["qkv"].get("bias")
+        if qb is None:
+            qb = jnp.zeros((G, 3 * C), jnp.float32)
+        wq, wk, wv = (qk[:, :, i * C:(i + 1) * C] for i in range(3))
+        bq, bk, bv = (qb[:, i * C:(i + 1) * C] for i in range(3))
+        ln = lambda n: (p[n]["scale"], p[n]["bias"])
+        # self site: LN(norm1) + qkv + rope + attn + proj + residual in-kernel
+        x = attention_site(x, x, wq, wk, wv, p["attn"]["proj"]["kernel"],
+                           bq, bk, bv, p["attn"]["proj"]["bias"],
+                           pos0, num_heads, rope_base,
+                           ln_q=ln("norm1"), ln_kv="same", residual=True)
+        # cross site: q from LN(norm2, x), kv from LN(norm_y, other stream's
+        # pre-layer tokens) — `y` was flipped before the self site ran
+        ca = p["cross_attn"]
+        zb = jnp.zeros((G, C), jnp.float32)
+        x = attention_site(x, y, ca["projq"]["kernel"],
+                           ca["projk"]["kernel"], ca["projv"]["kernel"],
+                           ca["proj"]["kernel"], ca["projq"].get("bias", zb),
+                           ca["projk"].get("bias", zb),
+                           ca["projv"].get("bias", zb), ca["proj"]["bias"],
+                           pos0, num_heads, rope_base, ln_q=ln("norm2"),
+                           ln_kv=ln("norm_y") if "norm_y" in p else None,
+                           residual=True)
+        h = _gln(p["norm3"], x)
+        h = nn.gelu(_gdense(p["mlp"]["fc1"], h))
+        return x + _gdense(p["mlp"]["fc2"], h)
 
     # self-attention
     h = _gln(p["norm1"], x)

@@ -1,0 +1,228 @@
+"""Fused attention site: qkv projection + RoPE2D + softmax attention +
+output projection in ONE Pallas TPU program.
+
+Behavioural reference: /root/reference/croco/models/blocks.py:94-112
+(Attention.forward: qkv -> rope(q), rope(k) -> softmax -> proj) and
+132-169 (CrossAttention.forward), with rope semantics from
+croco/models/curope/kernels.cu:17-108.
+
+Why fuse at the *site* level (not just softmax attention): at Align3R decode
+shapes (B=16, N=576, C=768, H=12, D=64) the XLA path round-trips q/k/v
+through HBM three times per site and relayouts (B, N, H, D) -> (B, H, N, D)
+for the attention kernel; 24 sites per decode batch make those copies a
+first-order cost. Here one grid step = one batch row: the row's tokens,
+q/k/v, logits and the projected output all stay VMEM-resident.
+
+Layout choices (the load-bearing part):
+- All row-local activations live TRANSPOSED, (C, N): the channel dim rides
+  sublanes, so per-head slices are whole sublane tiles (D=64 = 4 bf16
+  sublane tiles) instead of sub-128 lane slices, which Mosaic handles
+  poorly. No explicit transposes are ever issued: `dot_general`
+  contracting-dim choices produce (C, N) from (N, C) inputs directly.
+- RoPE's rotate_half acts on the head dim = sublanes: expressed as a
+  sublane regrouping (reshape to (H, 2, 2, D//4, N), swap+negate quarter
+  pairs) — no lane shuffles and no DxD permutation matmul.
+- Per-head fp32 logits (N, N) are transient: one head's softmax is alive
+  at a time (VMEM streaming over heads).
+
+Assumes every row shares ONE position grid (true for the engine: landscape
+batches all use make_grid_positions(gh, gw)); cos/sin arrive as (D, N)
+tables. Inference-path only (no custom VJP) — training keeps the XLA path.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _ln(x, scale, bias, eps=1e-6):
+    """LayerNorm over the last (lane) dim, fp32 stats — matches nn.layernorm."""
+    xf = x.astype(jnp.float32)
+    mu = xf.mean(axis=-1, keepdims=True)
+    var = ((xf - mu) ** 2).mean(axis=-1, keepdims=True)
+    y = (xf - mu) * jax.lax.rsqrt(var + eps)
+    return (y * scale + bias).astype(x.dtype)
+
+
+def _kernel(xq_ref, xkv_ref, wq_ref, wk_ref, wv_ref, wo_ref, bqkv_ref,
+            bo_ref, cos_ref, sin_ref, lnq_ref, lnkv_ref, o_ref, *,
+            num_heads, scale, ln_q, ln_kv, residual):
+    raw = xq_ref[0, 0]                              # (Nq, C) bf16
+    xq = _ln(raw, lnq_ref[0, 0:1], lnq_ref[0, 1:2]) if ln_q else raw
+    if ln_kv == "same":
+        xkv = xq
+    elif ln_kv:
+        xkv = _ln(xkv_ref[0, 0], lnkv_ref[0, 0:1], lnkv_ref[0, 1:2])
+    else:
+        xkv = xkv_ref[0, 0]                         # (Nk, C)
+    Nq, C = xq.shape
+    Nk = xkv.shape[0]
+    H = num_heads
+    D = C // H
+
+    def proj_T(w_ref, x, bcol):
+        """(C_out, N) = w^T x^T via contraction-dim choice + bias add."""
+        t = jax.lax.dot_general(
+            w_ref[0], x, (((0,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)     # (C_out, N)
+        return (t + bqkv_ref[0][:, bcol:bcol + 1]).astype(x.dtype)
+
+    qT = proj_T(wq_ref, xq, 0)                      # (C, Nq)
+    kT = proj_T(wk_ref, xkv, 1)                     # (C, Nk)
+    vT = proj_T(wv_ref, xkv, 2)                     # (C, Nk)
+
+    cos = cos_ref[:]                                # (D, N) bf16
+    sin = sin_ref[:]
+
+    def rope_T(tT, n):
+        # rotate_half within each D/2 half: out[:q] = -in[q:2q],
+        # out[q:2q] = in[:q] (q = D//4) — sublane regrouping only.
+        t5 = tT.reshape(H, 2, 2, D // 4, n)
+        rot = jnp.concatenate([-t5[:, :, 1:2], t5[:, :, 0:1]], axis=2)
+        t3 = tT.reshape(H, D, n)
+        r3 = rot.reshape(H, D, n)
+        return t3 * cos[None] + r3 * sin[None]      # (H, D, n) bf16
+
+    q3 = rope_T(qT, Nq)
+    k3 = rope_T(kT, Nk)
+    v3 = vT.reshape(H, D, Nk)
+
+    # heads streamed: one fp32 (Nq, Nk) logits block alive at a time
+    outs = []
+    for h in range(H):
+        logits = jax.lax.dot_general(
+            q3[h], k3[h], (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale      # (Nq, Nk)
+        m = jnp.max(logits, axis=-1, keepdims=True)
+        p = jnp.exp(logits - m)
+        s = jnp.sum(p, axis=-1, keepdims=True)
+        oh = jax.lax.dot_general(
+            v3[h], (p / s).astype(v3.dtype), (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)              # (D, Nq)
+        outs.append(oh.astype(xq.dtype))
+    oT = jnp.concatenate(outs, axis=0)              # (C, Nq)
+
+    y = jax.lax.dot_general(
+        oT, wo_ref[0], (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)         # (Nq, C_out)
+    y = (y + bo_ref[0]).astype(o_ref.dtype)
+    o_ref[0, 0] = raw + y if residual else y
+
+
+@functools.partial(jax.jit, static_argnames=("num_heads", "interpret",
+                                             "ln_q", "ln_kv", "residual"))
+def _call(xq, xkv, wq, wk, wv, wo, bqkv, bo, cos, sin, lnq, lnkv,
+          num_heads: int, interpret: bool, ln_q: bool, ln_kv,
+          residual: bool):
+    G, B, Nq, C = xq.shape
+    Nk = xkv.shape[2]
+    D = C // num_heads
+    grid = (G, B)
+    wspec = pl.BlockSpec((1, C, C), lambda g, b: (g, 0, 0),
+                         memory_space=pltpu.VMEM)
+    gvec = lambda r: pl.BlockSpec((1, r, C), lambda g, b: (g, 0, 0),
+                                  memory_space=pltpu.VMEM)
+    kern = functools.partial(_kernel, num_heads=num_heads, scale=D ** -0.5,
+                             ln_q=ln_q, ln_kv=ln_kv, residual=residual)
+    return pl.pallas_call(
+        kern,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 1, Nq, C), lambda g, b: (g, b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, Nk, C), lambda g, b: (g, b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            wspec, wspec, wspec, wspec,
+            pl.BlockSpec((1, C, 4), lambda g, b: (g, 0, 0),
+                         memory_space=pltpu.VMEM),
+            gvec(1),
+            pl.BlockSpec((D, Nq), lambda g, b: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((D, Nq), lambda g, b: (0, 0),
+                         memory_space=pltpu.VMEM),
+            gvec(2), gvec(2),
+        ],
+        out_specs=pl.BlockSpec((1, 1, Nq, C), lambda g, b: (g, b, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((G, B, Nq, C), xq.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=G * B * (2 * C * C * (2 * Nq + 2 * Nk)
+                           + 2 * 2 * num_heads * Nq * Nk * D),
+            bytes_accessed=(xq.size + xkv.size) * 2 * 2,
+            transcendentals=G * B * num_heads * Nq * Nk,
+        ),
+        interpret=interpret,
+    )(xq, xkv, wq, wk, wv, wo, bqkv, bo, cos, sin, lnq, lnkv)
+
+
+def _rope_tables(pos_row, D: int, base: float, dtype):
+    """cos/sin (D, N) for one shared (N, 2) position grid, matching
+    models.rope.apply_rope2d's table construction (y-half then x-half)."""
+    from align3r_tpu.models.rope import rope_cos_sin
+    half = D // 2
+    cy, sy = rope_cos_sin(pos_row[..., 0], half, base, dtype)   # (N, half)
+    cx, sx = rope_cos_sin(pos_row[..., 1], half, base, dtype)
+    cos = jnp.concatenate([cy, cx], axis=-1)                    # (N, D)
+    sin = jnp.concatenate([sy, sx], axis=-1)
+    return cos.T, sin.T                                         # (D, N)
+
+
+def supported(x, num_heads: int) -> bool:
+    """Shapes the fused site handles: equal q/kv length, bf16-tileable dims,
+    one batch row's working set comfortably within VMEM."""
+    G, B, N, C = x.shape
+    D = C // num_heads
+    working = N * N * 4 + 3 * C * N * 2 + 4 * C * C * 2 + 4 * N * C * 2
+    return (C % num_heads == 0 and D % 8 == 0 and 8 <= D <= 128
+            and D % 4 == 0 and N % 16 == 0
+            and working < 15 * 1024 * 1024)
+
+
+def attention_site(xq, xkv, wq, wk, wv, wo, bq, bk, bv, bo, pos,
+                   num_heads: int, rope_base: float | None = 100.0,
+                   interpret: bool | None = None,
+                   ln_q=None, ln_kv=None, residual: bool = False):
+    """Fused [LN+] qkv+RoPE+attention+proj [+residual] for stacked streams.
+
+    xq: (G, B, Nq, C) query source; xkv: (G, B, Nk, C) key/value source
+    (the same array for self-attention; Nk must equal Nq). w*: (G, C, C)
+    per-stream weights as stored, (C_in, C_out); b*: (G, C) biases (pass
+    zeros if absent). pos: (N, 2) ONE position grid shared by every row
+    (the engine guarantees this).
+
+    ln_q: optional (scale, bias) each (G, C) — LayerNorm applied to xq
+    in-kernel (pass the PRE-norm tokens then). ln_kv: same for xkv, or the
+    string "same" to reuse xq's normalised tokens (self-attention).
+    residual=True adds the raw xq to the projected output (the transformer
+    residual), saving two more HBM round trips.
+    Returns (G, B, Nq, C) in xq.dtype.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() not in ("tpu", "axon")
+    G, B, Nq, C = xq.shape
+    Nk = xkv.shape[2]
+    assert Nq == Nk, "fused site requires equal q/kv sequence lengths"
+    D = C // num_heads
+    if rope_base is not None:
+        cos, sin = _rope_tables(pos, D, rope_base, xq.dtype)
+    else:
+        cos = jnp.ones((D, Nq), xq.dtype)
+        sin = jnp.zeros((D, Nq), xq.dtype)
+    bqkv = jnp.stack([bq, bk, bv, jnp.zeros_like(bq)], axis=-1)  # (G, C, 4)
+    wq, wk, wv, wo = (w.astype(xq.dtype) for w in (wq, wk, wv, wo))
+    pack = lambda ln: (jnp.stack(ln, axis=1).astype(jnp.float32) if ln
+                       else jnp.zeros((G, 2, C), jnp.float32))    # (G, 2, C)
+    lnq = pack(ln_q)
+    lnkv = pack(None if ln_kv in (None, "same") else ln_kv)
+    return _call(xq, xkv, wq, wk, wv, wo, bqkv.astype(jnp.float32),
+                 bo.astype(jnp.float32)[:, None, :], cos, sin, lnq, lnkv,
+                 num_heads, interpret, ln_q is not None,
+                 "same" if ln_kv == "same" else ln_kv is not None, residual)

@@ -1,0 +1,126 @@
+"""Fused qkv+RoPE+attention+proj Pallas site == existing XLA site math.
+
+Oracle: blocks.apply_attention / apply_cross_attention (themselves oracle-
+tested against the torch reference in test_rope_blocks.py). The fused site
+(ops/fused_site.py) must match in fp32 to near-machine precision and in
+bf16 to rounding tolerance.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from align3r_tpu.models import blocks as B
+from align3r_tpu.models import nn
+from align3r_tpu.models.rope import make_grid_positions
+from align3r_tpu.ops.fused_site import attention_site, supported
+
+G, Bb, H, D = 2, 3, 4, 16
+C = H * D
+GH, GW = 4, 8
+N = GH * GW
+
+
+@pytest.fixture(scope="module")
+def setup():
+    key = jax.random.PRNGKey(0)
+    ks = jax.random.split(key, 8)
+    x = jax.random.normal(ks[0], (G, Bb, N, C))
+    y = jax.random.normal(ks[1], (G, Bb, N, C))
+    attn = [B.init_attention(k, C) for k in jax.random.split(ks[2], G)]
+    cross = [B.init_cross_attention(k, C) for k in jax.random.split(ks[3], G)]
+    pos = make_grid_positions(GH, GW)
+    return x, y, attn, cross, pos
+
+
+def _stack(trees):
+    return jax.tree.map(lambda *xs: jnp.stack(xs), *trees)
+
+
+def _self_args(attn):
+    p = _stack(attn)
+    qkv_k, qkv_b = p["qkv"]["kernel"], p["qkv"]["bias"]
+    wq, wk, wv = (qkv_k[:, :, i * C:(i + 1) * C] for i in range(3))
+    bq, bk, bv = (qkv_b[:, i * C:(i + 1) * C] for i in range(3))
+    return wq, wk, wv, p["proj"]["kernel"], bq, bk, bv, p["proj"]["bias"]
+
+
+def _cross_args(cross):
+    p = _stack(cross)
+    z = jnp.zeros((G, C), p["projq"]["kernel"].dtype)
+    return (p["projq"]["kernel"], p["projk"]["kernel"], p["projv"]["kernel"],
+            p["proj"]["kernel"], p["projq"].get("bias", z),
+            p["projk"].get("bias", z), p["projv"].get("bias", z),
+            p["proj"]["bias"])
+
+
+def test_supported(setup):
+    x, *_ = setup
+    assert supported(x, H)
+
+
+@pytest.mark.parametrize("dtype,tol", [(jnp.float32, 2e-5), (jnp.bfloat16, 0.08)])
+def test_self_site_matches_xla(setup, dtype, tol):
+    x, _, attn, _, pos = setup
+    xd = x.astype(dtype)
+    posb = jnp.broadcast_to(pos[None], (Bb, N, 2))
+    ref = jnp.stack([
+        B.apply_attention(attn[g], xd[g], posb, H, rope_base=100.0,
+                          attn_impl="xla")
+        for g in range(G)])
+    out = attention_site(xd, xd, *_self_args(attn), pos, H, rope_base=100.0)
+    np.testing.assert_allclose(np.asarray(out, np.float32),
+                               np.asarray(ref, np.float32), atol=tol, rtol=tol)
+
+
+@pytest.mark.parametrize("dtype,tol", [(jnp.float32, 2e-5), (jnp.bfloat16, 0.08)])
+def test_cross_site_matches_xla(setup, dtype, tol):
+    x, y, _, cross, pos = setup
+    xd, yd = x.astype(dtype), y.astype(dtype)
+    posb = jnp.broadcast_to(pos[None], (Bb, N, 2))
+    ref = jnp.stack([
+        B.apply_cross_attention(cross[g], xd[g], yd[g], yd[g], posb, posb, H,
+                                rope_base=100.0, attn_impl="xla")
+        for g in range(G)])
+    wq, wk, wv, wo, bq, bk, bv, bo = _cross_args(cross)
+    out = attention_site(xd, yd, wq, wk, wv, wo, bq, bk, bv, bo, pos, H,
+                         rope_base=100.0)
+    np.testing.assert_allclose(np.asarray(out, np.float32),
+                               np.asarray(ref, np.float32), atol=tol, rtol=tol)
+
+
+def test_decode_pair_fused_matches_auto():
+    """Whole stacked decoder with attn_impl='fused' vs the default path."""
+    from align3r_tpu.models.config import Align3RConfig
+    from align3r_tpu.models.align3r import (init_align3r, encode_images,
+                                            embed_point_cloud, decode_pair)
+    cfg = Align3RConfig(img_size=(32, 48), patch_size=16, enc_embed_dim=64,
+                        enc_depth=2, enc_num_heads=2, dec_embed_dim=48,
+                        dec_depth=8, dec_num_heads=2)
+    params = init_align3r(jax.random.PRNGKey(0), cfg)
+    Bi, Hh, Ww = 2, 32, 48
+    img = jax.random.normal(jax.random.PRNGKey(1), (2 * Bi, Hh, Ww, 3))
+    feats, pos = encode_images(params, img, cfg, dtype=jnp.float32)
+    pc = jax.random.normal(jax.random.PRNGKey(2), (2 * Bi, Hh, Ww, 3))
+    pct, pcp = embed_point_cloud(params, pc, cfg, dtype=jnp.float32)
+    args = (feats[:Bi], pos[:Bi], feats[Bi:], pos[Bi:], pct, pcp)
+    h1a, h2a = decode_pair(params, *args, cfg, dtype=jnp.float32,
+                           attn_impl="xla")
+    h1b, h2b = decode_pair(params, *args, cfg, dtype=jnp.float32,
+                           attn_impl="fused")
+    for a, b in zip(h1a + h2a, h1b + h2b):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=5e-5, rtol=1e-4)
+
+
+def test_no_rope(setup):
+    x, _, attn, _, pos = setup
+    posb = jnp.broadcast_to(pos[None], (Bb, N, 2))
+    ref = jnp.stack([
+        B.apply_attention(attn[g], x[g], posb, H, rope_base=None,
+                          attn_impl="xla")
+        for g in range(G)])
+    wq, wk, wv, wo, bq, bk, bv, bo = _self_args(attn)
+    out = attention_site(x, x, wq, wk, wv, wo, bq, bk, bv, bo, pos, H,
+                         rope_base=None)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)

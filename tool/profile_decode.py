@@ -43,18 +43,24 @@ def timed(fn, *args, reps):
 
 
 def timed_calls(fn, *args, reps):
-    """Compile, then time reps separate dispatches (for >=50 ms stages whose
-    bodies already contain scans — wrapping those in another scan explodes
-    compile time; ~2 ms/call dispatch noise is <5% at this scale)."""
+    """Compile, then time reps PIPELINED dispatches with one final sync.
+
+    Per-call sync over the axon tunnel costs ~30 ms of host round-trip
+    (measured: decode program 73 ms synced-per-call vs 40 ms pipelined), so
+    throughput-style timing must let dispatches queue; the engine runs the
+    same way (no host sync between batches)."""
     import jax
     import jax.numpy as jnp
     jfn = jax.jit(fn)
     out = jfn(*args)
     np.asarray(jnp.sum(jax.tree.leaves(out)[0]))
     t0 = time.perf_counter()
+    acc = None
     for _ in range(reps):
         out = jfn(*args)
-        np.asarray(jnp.sum(jax.tree.leaves(out)[0]))
+        s = jnp.sum(jax.tree.leaves(out)[0])
+        acc = s if acc is None else acc + s
+    np.asarray(acc)
     return (time.perf_counter() - t0) / reps
 
 
@@ -69,7 +75,8 @@ def main():
     import jax
     import jax.numpy as jnp
     from align3r_tpu.models.config import VIT_L_512
-    from align3r_tpu.models.align3r import init_align3r, decode_pair
+    from align3r_tpu.models.align3r import (init_align3r, decode_pair,
+                                            stack_decoder_params)
     from align3r_tpu.models.dpt_head import apply_dpt_head
     from align3r_tpu.models.rope import make_grid_positions
     from align3r_tpu.ops.attention import xla_attention
@@ -139,7 +146,43 @@ def main():
         except Exception as e:  # noqa
             print("stock flash failed:", repr(e)[:200])
 
-    params = init_align3r(jax.random.PRNGKey(0), cfg)
+    if "site" in which or "all" in which:
+        # fused qkv+rope+attn+proj Pallas site vs the unfused XLA sequence
+        from align3r_tpu.models import blocks as Bl
+        from align3r_tpu.ops.fused_site import attention_site
+        G2, Bb = 2, PB
+        C = cfg.dec_embed_dim
+        Hh = cfg.dec_num_heads
+        x = jax.random.normal(key, (G2, Bb, N, C), jnp.bfloat16)
+        pos_s = jnp.stack([make_grid_positions(gh, gw, batch=Bb)] * G2)
+        attn_p = [Bl.init_attention(k, C)
+                  for k in jax.random.split(jax.random.PRNGKey(3), G2)]
+        pstack = jax.tree.map(lambda *xs: jnp.stack(xs), *attn_p)
+        qk, qb = pstack["qkv"]["kernel"], pstack["qkv"]["bias"]
+        wq, wk, wv = (qk[:, :, i * C:(i + 1) * C] for i in range(3))
+        bq, bk, bv = (qb[:, i * C:(i + 1) * C] for i in range(3))
+        wo, bo = pstack["proj"]["kernel"], pstack["proj"]["bias"]
+        pos0 = pos_s[0, 0]
+        sflops = 2 * G2 * Bb * (4 * N * C * C + 2 * Hh * N * N * (C // Hh))
+
+        def fused(x, *w):
+            return attention_site(x, x, *w, pos0, Hh, 100.0)
+
+        dt = timed(fused, x, wq, wk, wv, wo, bq, bk, bv, bo, reps=args.reps)
+        print(f"fused site         {dt*1e3:8.3f} ms  {sflops/dt/1e12:6.1f} TF/s")
+
+        def xla_site(x, pst):
+            flat = x.reshape(G2 * Bb, N, C)
+            posf = pos_s.reshape(G2 * Bb, N, 2)
+            # ungrouped equivalent (single stream's weights for timing only)
+            out = Bl.apply_attention(jax.tree.map(lambda t: t[0], pst),
+                                     flat, posf, Hh, 100.0, "auto")
+            return out.reshape(G2, Bb, N, C)
+
+        dt = timed(xla_site, x, pstack, reps=args.reps)
+        print(f"xla site (small)   {dt*1e3:8.3f} ms  {sflops/dt/1e12:6.1f} TF/s")
+
+    params = stack_decoder_params(init_align3r(jax.random.PRNGKey(0), cfg))
     feat = jax.random.normal(key, (PB, N, cfg.enc_embed_dim), jnp.float32)
     pcts = jax.random.normal(key, (2 * PB, N, cfg.dec_embed_dim), jnp.float32)
     pos = make_grid_positions(gh, gw, batch=PB)
@@ -147,7 +190,7 @@ def main():
 
     if "decode" in which or "all" in which:
         for label, kw in [("stacked u1 ", dict(stacked=True)),
-                          ("stacked u12", dict(stacked=True, unroll=12)),
+                          ("fused sites", dict(stacked=True, attn_impl="fused")),
                           ("separate   ", dict(stacked=False))]:
             def dec_only(params, feat, pcts, kw=kw):
                 h1, h2 = decode_pair(params, feat, pos, feat, pos, pcts, pc_pos,
