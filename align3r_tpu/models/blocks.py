@@ -254,9 +254,10 @@ def apply_decoder_block_stacked(p, x, xpos, num_heads: int, rope_base=100.0,
                            pos0, num_heads, rope_base, ln_q=ln("norm2"),
                            ln_kv=ln("norm_y") if "norm_y" in p else None,
                            residual=True)
-        h = _gln(p["norm3"], x)
-        h = nn.gelu(_gdense(p["mlp"]["fc1"], h))
-        return x + _gdense(p["mlp"]["fc2"], h)
+        from align3r_tpu.ops.fused_site import mlp_site
+        return mlp_site(x, p["mlp"]["fc1"]["kernel"], p["mlp"]["fc1"]["bias"],
+                        p["mlp"]["fc2"]["kernel"], p["mlp"]["fc2"]["bias"],
+                        ln=ln("norm3"), residual=True)
 
     # self-attention
     h = _gln(p["norm1"], x)

@@ -163,6 +163,72 @@ def _call(xq, xkv, wq, wk, wv, wo, bqkv, bo, cos, sin, lnq, lnkv,
     )(xq, xkv, wq, wk, wv, wo, bqkv, bo, cos, sin, lnq, lnkv)
 
 
+def _mlp_kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, ln_ref, o_ref, *,
+                ln, residual):
+    raw = x_ref[0, 0]                               # (N, C) bf16
+    x = _ln(raw, ln_ref[0, 0:1], ln_ref[0, 1:2]) if ln else raw
+    h = jax.lax.dot_general(
+        x, w1_ref[0], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)         # (N, F)
+    h = jax.nn.gelu(h + b1_ref[0], approximate=False).astype(x.dtype)
+    y = jax.lax.dot_general(
+        h, w2_ref[0], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)         # (N, C)
+    y = (y + b2_ref[0]).astype(o_ref.dtype)
+    o_ref[0, 0] = raw + y if residual else y
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "ln", "residual"))
+def _mlp_call(x, w1, b1, w2, b2, lnp, interpret: bool, ln: bool,
+              residual: bool):
+    G, B, N, C = x.shape
+    F = w1.shape[-1]
+    gvec = lambda r, c: pl.BlockSpec((1, r, c), lambda g, b: (g, 0, 0),
+                                     memory_space=pltpu.VMEM)
+    kern = functools.partial(_mlp_kernel, ln=ln, residual=residual)
+    return pl.pallas_call(
+        kern,
+        grid=(G, B),
+        in_specs=[
+            pl.BlockSpec((1, 1, N, C), lambda g, b: (g, b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            gvec(C, F), gvec(1, F), gvec(F, C), gvec(1, C), gvec(2, C),
+        ],
+        out_specs=pl.BlockSpec((1, 1, N, C), lambda g, b: (g, b, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((G, B, N, C), x.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=G * B * 4 * N * C * F,
+            bytes_accessed=x.size * 2 * 2 + (w1.size + w2.size) * 2,
+            transcendentals=G * B * N * F,
+        ),
+        interpret=interpret,
+    )(x, w1, b1, w2, b2, lnp)
+
+
+def mlp_site(x, w1, b1, w2, b2, ln=None, residual: bool = False,
+             interpret: bool | None = None):
+    """Fused [LN+] fc1+GELU+fc2 [+residual] for stacked streams.
+
+    x: (G, B, N, C); w1: (G, C, F); w2: (G, F, C); b1: (G, F); b2: (G, C);
+    ln: optional (scale, bias) each (G, C) applied to x in-kernel.
+    GELU is exact (erf) — matches nn.gelu / torch nn.GELU default.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() not in ("tpu", "axon")
+    G, B, N, C = x.shape
+    w1, w2 = w1.astype(x.dtype), w2.astype(x.dtype)
+    lnp = (jnp.stack(ln, axis=1).astype(jnp.float32) if ln
+           else jnp.zeros((G, 2, C), jnp.float32))
+    return _mlp_call(x, w1, b1.astype(jnp.float32)[:, None, :],
+                     w2, b2.astype(jnp.float32)[:, None, :], lnp,
+                     interpret, ln is not None, residual)
+
+
 def _rope_tables(pos_row, D: int, base: float, dtype):
     """cos/sin (D, N) for one shared (N, 2) position grid, matching
     models.rope.apply_rope2d's table construction (y-half then x-half)."""
