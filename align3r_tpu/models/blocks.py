@@ -132,6 +132,29 @@ def init_block(key, dim: int, num_heads: int, mlp_ratio: float = 4.0, dtype=jnp.
 
 
 def apply_block(p, x, pos, num_heads: int, rope_base=100.0, attn_impl="auto"):
+    if attn_impl == "fused":
+        from align3r_tpu.ops.fused_site import (attention_site, mlp_site,
+                                                supported)
+        if supported(x[None], num_heads):
+            C = x.shape[-1]
+            a = p["attn"]
+            qk = a["qkv"]["kernel"][None]
+            qb = a["qkv"].get("bias")
+            qb = (jnp.zeros((3 * C,), jnp.float32) if qb is None else qb)[None]
+            wq, wk, wv = (qk[:, :, i * C:(i + 1) * C] for i in range(3))
+            bq, bk, bv = (qb[:, i * C:(i + 1) * C] for i in range(3))
+            ln = lambda n: (p[n]["scale"][None], p[n]["bias"][None])
+            x = attention_site(x[None], x[None], wq, wk, wv,
+                               a["proj"]["kernel"][None], bq, bk, bv,
+                               a["proj"]["bias"][None], pos[0], num_heads,
+                               rope_base, ln_q=ln("norm1"), ln_kv="same",
+                               residual=True)
+            m = p["mlp"]
+            x = mlp_site(x, m["fc1"]["kernel"][None], m["fc1"]["bias"][None],
+                         m["fc2"]["kernel"][None], m["fc2"]["bias"][None],
+                         ln=ln("norm2"), residual=True)
+            return x[0]
+        attn_impl = "auto"
     x = x + apply_attention(p["attn"], nn.layernorm(p["norm1"], x), pos,
                             num_heads, rope_base, attn_impl)
     x = x + apply_mlp(p["mlp"], nn.layernorm(p["norm2"], x))
