@@ -35,10 +35,11 @@ from align3r_tpu.models.rope import make_grid_positions
 
 def _decode_batch(params, feat1, feat2, pc1, pc2, cfg: Align3RConfig,
                   img_hw: Tuple[int, int], dtype=jnp.bfloat16,
-                  head_dtype=jnp.float32):
+                  head_dtype=jnp.float32, attn_impl: str = "auto"):
     """Decoder + heads for a batch of pairs with precomputed features.
     head_dtype=jnp.bfloat16 opts the DPT conv pyramid into bf16 (fp32 is
-    the reference AMP behaviour and the default)."""
+    the reference AMP behaviour and the default); attn_impl="fused" routes
+    decoder layers through the fused Pallas sites (ops/fused_site.py)."""
     H, W = img_hw
     grid = (H // cfg.patch_size, W // cfg.patch_size)
     Bp = feat1.shape[0]
@@ -46,7 +47,7 @@ def _decode_batch(params, feat1, feat2, pc1, pc2, cfg: Align3RConfig,
     pc_pos = make_grid_positions(grid[0], grid[1], batch=2 * Bp)
     pc_tokens = jnp.concatenate([pc1, pc2], axis=0)
     hooks1, hooks2 = decode_pair(params, feat1, pos, feat2, pos,
-                                 pc_tokens, pc_pos, cfg, dtype)
+                                 pc_tokens, pc_pos, cfg, dtype, attn_impl)
     res1 = apply_dpt_head(params["head1"], hooks1, grid, (H, W),
                           cfg.depth_mode, cfg.conf_mode, dtype=head_dtype)
     res2 = apply_dpt_head(params["head2"], hooks2, grid, (H, W),
@@ -55,11 +56,13 @@ def _decode_batch(params, feat1, feat2, pc1, pc2, cfg: Align3RConfig,
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("cfg", "img_hw", "dtype", "head_dtype"))
+                   static_argnames=("cfg", "img_hw", "dtype", "head_dtype",
+                                    "attn_impl"))
 def _decode_batch_jit(params, feat1, feat2, pc1, pc2, cfg, img_hw,
-                      dtype=jnp.bfloat16, head_dtype=jnp.float32):
+                      dtype=jnp.bfloat16, head_dtype=jnp.float32,
+                      attn_impl: str = "auto"):
     return _decode_batch(params, feat1, feat2, pc1, pc2, cfg, img_hw, dtype,
-                         head_dtype)
+                         head_dtype, attn_impl)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "dtype"))
@@ -72,7 +75,8 @@ def _encode_all_jit(params, imgs, priors, cfg, dtype=jnp.bfloat16):
 def inference(pairs: Sequence[Tuple[int, int]], params, cfg: Align3RConfig,
               imgs: jnp.ndarray, priors: jnp.ndarray,
               batch_size: int = 8, dtype=jnp.bfloat16,
-              encode_chunk: int = 16, head_dtype=jnp.float32) -> Dict:
+              encode_chunk: int = 16, head_dtype=jnp.float32,
+              attn_impl: str = "auto") -> Dict:
     """Run the two-view network over a frame graph.
 
     pairs: list of (i, j) index edges; imgs: (n, H, W, 3) normalised,
@@ -126,7 +130,7 @@ def inference(pairs: Sequence[Tuple[int, int]], params, cfg: Align3RConfig,
         p1 = jnp.take(pc_tok, jnp.asarray(bi), axis=0)
         p2 = jnp.take(pc_tok, jnp.asarray(bj), axis=0)
         r1, r2 = _decode_batch_jit(params, f1, f2, p1, p2, cfg, (H, W),
-                                   dtype, head_dtype)
+                                   dtype, head_dtype, attn_impl)
         outs1.append(jax.tree.map(lambda x: x[: e - s], r1))
         outs2.append(jax.tree.map(lambda x: x[: e - s], r2))
 
