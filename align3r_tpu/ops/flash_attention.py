@@ -71,8 +71,10 @@ def supported(q, k, v) -> bool:
     D=64 lane layout forces Mosaic relayouts and the in-kernel rotation
     concats are sublane shuffles, while XLA already keeps these small blocks
     fused. The kernel stays available via attn_impl='pallas' (numerics match
-    bf16-exactly); TODO(perf): lane-128 head packing + qkv/out-proj fusion
-    before making it the default."""
+    bf16-exactly). The planned qkv/rope/proj fusion rework landed as
+    ops/fused_site.py (transposed (C, N) layout, sublane head slicing) —
+    prefer attn_impl='fused' for whole-site fusion; this file remains the
+    historical flash-style variant."""
     return False
 
 

@@ -91,6 +91,27 @@ def test_inference_engine_padding_last_batch():
     assert np.isfinite(np.asarray(out["pred1"]["pts3d"])).all()
 
 
+def test_engine_fused_attn_matches_default():
+    """attn_impl='fused' (Pallas site kernels) through the engine equals the
+    default path in fp32."""
+    cfg = TINY_TEST
+    params = init_align3r(jax.random.PRNGKey(0), cfg)
+    n, H, W = 3, 32, 48
+    imgs = jax.random.normal(jax.random.PRNGKey(5), (n, H, W, 3))
+    priors = jax.random.uniform(jax.random.PRNGKey(6), (n, H, W, 3))
+    pairs = make_pairs(n, "complete", symmetrize=False)
+    a = inference(pairs, params, cfg, imgs, priors, batch_size=3,
+                  dtype=jnp.float32)
+    b = inference(pairs, params, cfg, imgs, priors, batch_size=3,
+                  dtype=jnp.float32, attn_impl="fused")
+    np.testing.assert_allclose(np.asarray(a["pred1"]["pts3d"]),
+                               np.asarray(b["pred1"]["pts3d"]),
+                               atol=5e-4, rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(a["pred2"]["conf"]),
+                               np.asarray(b["pred2"]["conf"]),
+                               atol=5e-4, rtol=1e-3)
+
+
 def test_bf16_head_option_close_to_fp32():
     """head_dtype=bf16 fast path stays close to the fp32 default."""
     import jax
