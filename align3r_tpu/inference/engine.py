@@ -29,17 +29,19 @@ import numpy as np
 from align3r_tpu.models.align3r import (encode_images, embed_point_cloud,
                                         decode_pair, stack_decoder_params)
 from align3r_tpu.models.config import Align3RConfig
-from align3r_tpu.models.dpt_head import apply_dpt_head
+from align3r_tpu.models.dpt_head import apply_dpt_head, apply_dpt_heads_stacked
 from align3r_tpu.models.rope import make_grid_positions
 
 
 def _decode_batch(params, feat1, feat2, pc1, pc2, cfg: Align3RConfig,
                   img_hw: Tuple[int, int], dtype=jnp.bfloat16,
-                  head_dtype=jnp.float32, attn_impl: str = "auto"):
+                  head_dtype=jnp.float32, attn_impl: str = "auto",
+                  stacked_heads: bool = False):
     """Decoder + heads for a batch of pairs with precomputed features.
     head_dtype=jnp.bfloat16 opts the DPT conv pyramid into bf16 (fp32 is
     the reference AMP behaviour and the default); attn_impl="fused" routes
-    decoder layers through the fused Pallas sites (ops/fused_site.py)."""
+    decoder layers through the fused Pallas sites (ops/fused_site.py);
+    stacked_heads runs both DPT heads as one vmapped grouped-conv program."""
     H, W = img_hw
     grid = (H // cfg.patch_size, W // cfg.patch_size)
     Bp = feat1.shape[0]
@@ -48,6 +50,11 @@ def _decode_batch(params, feat1, feat2, pc1, pc2, cfg: Align3RConfig,
     pc_tokens = jnp.concatenate([pc1, pc2], axis=0)
     hooks1, hooks2 = decode_pair(params, feat1, pos, feat2, pos,
                                  pc_tokens, pc_pos, cfg, dtype, attn_impl)
+    if stacked_heads:
+        return apply_dpt_heads_stacked(params["head1"], params["head2"],
+                                       hooks1, hooks2, grid, (H, W),
+                                       cfg.depth_mode, cfg.conf_mode,
+                                       dtype=head_dtype)
     res1 = apply_dpt_head(params["head1"], hooks1, grid, (H, W),
                           cfg.depth_mode, cfg.conf_mode, dtype=head_dtype)
     res2 = apply_dpt_head(params["head2"], hooks2, grid, (H, W),
@@ -57,12 +64,12 @@ def _decode_batch(params, feat1, feat2, pc1, pc2, cfg: Align3RConfig,
 
 @functools.partial(jax.jit,
                    static_argnames=("cfg", "img_hw", "dtype", "head_dtype",
-                                    "attn_impl"))
+                                    "attn_impl", "stacked_heads"))
 def _decode_batch_jit(params, feat1, feat2, pc1, pc2, cfg, img_hw,
                       dtype=jnp.bfloat16, head_dtype=jnp.float32,
-                      attn_impl: str = "auto"):
+                      attn_impl: str = "auto", stacked_heads: bool = False):
     return _decode_batch(params, feat1, feat2, pc1, pc2, cfg, img_hw, dtype,
-                         head_dtype, attn_impl)
+                         head_dtype, attn_impl, stacked_heads)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "dtype"))
@@ -76,7 +83,7 @@ def inference(pairs: Sequence[Tuple[int, int]], params, cfg: Align3RConfig,
               imgs: jnp.ndarray, priors: jnp.ndarray,
               batch_size: int = 8, dtype=jnp.bfloat16,
               encode_chunk: int = 16, head_dtype=jnp.float32,
-              attn_impl: str = "auto") -> Dict:
+              attn_impl: str = "auto", stacked_heads: bool = False) -> Dict:
     """Run the two-view network over a frame graph.
 
     pairs: list of (i, j) index edges; imgs: (n, H, W, 3) normalised,
@@ -130,7 +137,7 @@ def inference(pairs: Sequence[Tuple[int, int]], params, cfg: Align3RConfig,
         p1 = jnp.take(pc_tok, jnp.asarray(bi), axis=0)
         p2 = jnp.take(pc_tok, jnp.asarray(bj), axis=0)
         r1, r2 = _decode_batch_jit(params, f1, f2, p1, p2, cfg, (H, W),
-                                   dtype, head_dtype, attn_impl)
+                                   dtype, head_dtype, attn_impl, stacked_heads)
         outs1.append(jax.tree.map(lambda x: x[: e - s], r1))
         outs2.append(jax.tree.map(lambda x: x[: e - s], r2))
 

@@ -16,6 +16,7 @@ regression head at 2x patch-grid -> full resolution.
 """
 from __future__ import annotations
 
+import functools
 from typing import List, Sequence
 
 import jax
@@ -124,3 +125,24 @@ def apply_dpt_head(p, hook_tokens: List[jnp.ndarray], grid_hw, img_hw,
     if depth_mode is None:
         return out
     return postprocess(out, depth_mode, conf_mode)
+
+
+def apply_dpt_heads_stacked(p1, p2, hooks1, hooks2, grid_hw, img_hw,
+                            depth_mode=None, conf_mode=None,
+                            dtype=jnp.float32, resize_impl: str = "mxu"):
+    """Run BOTH downstream heads as one vmapped program.
+
+    XLA lowers the vmapped convolutions to grouped convs (one kernel per
+    conv site covering both heads) instead of two separate head programs —
+    half the op count, twice the per-matmul batch. Numerics identical to
+    two apply_dpt_head calls. Returns (res1, res2).
+    """
+    ps = jax.tree.map(lambda a, b: jnp.stack([a, b]), p1, p2)
+    hooks = [jnp.stack([a, b]) for a, b in zip(hooks1, hooks2)]
+    fn = functools.partial(apply_dpt_head, grid_hw=grid_hw, img_hw=img_hw,
+                           depth_mode=depth_mode, conf_mode=conf_mode,
+                           dtype=dtype, resize_impl=resize_impl)
+    out = jax.vmap(lambda p, h: fn(p, h))(ps, hooks)
+    res1 = jax.tree.map(lambda t: t[0], out)
+    res2 = jax.tree.map(lambda t: t[1], out)
+    return res1, res2

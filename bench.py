@@ -57,6 +57,35 @@ def main():
     dt = (time.perf_counter() - t0) / n_rep
     pairs_per_sec = len(pairs) / dt
 
+    # stage split (pipelined timings, one sync each): encoder vs decode+heads
+    from align3r_tpu.inference.engine import (_encode_all_jit,
+                                              _decode_batch_jit)
+    from align3r_tpu.models.align3r import stack_decoder_params
+    sparams = stack_decoder_params(params)
+    f, pc = _encode_all_jit(sparams, imgs[:16], priors[:16], cfg)
+    np.asarray(jnp.sum(f))
+    t0 = time.perf_counter()
+    acc = None
+    for _ in range(4):
+        f, pc = _encode_all_jit(sparams, imgs[:16], priors[:16], cfg)
+        s = jnp.sum(f)
+        acc = s if acc is None else acc + s
+    np.asarray(acc)
+    enc_ms_img = (time.perf_counter() - t0) / 4 / 16 * 1e3
+    f1 = f[:BATCH]
+    r1, r2 = _decode_batch_jit(sparams, f1, f1, pc[:BATCH], pc[:BATCH], cfg,
+                               (H, W))
+    np.asarray(jnp.sum(r1["pts3d"]))
+    t0 = time.perf_counter()
+    acc = None
+    for _ in range(10):
+        r1, r2 = _decode_batch_jit(sparams, f1, f1, pc[:BATCH], pc[:BATCH],
+                                   cfg, (H, W))
+        s = jnp.sum(r1["pts3d"])
+        acc = s if acc is None else acc + s
+    np.asarray(acc)
+    dec_ms_pair = (time.perf_counter() - t0) / 10 / BATCH * 1e3
+
     align_ips = _bench_alignment()
 
     print(json.dumps({
@@ -65,6 +94,8 @@ def main():
         "unit": "pairs/s",
         "vs_baseline": round(pairs_per_sec / A100_REFERENCE_PAIRS_PER_SEC, 3),
         "alignment_iters_per_sec": round(align_ips, 1),
+        "encode_ms_per_img": round(enc_ms_img, 2),
+        "decode_ms_per_pair": round(dec_ms_pair, 2),
         # the reference repo publishes no numbers; 8 pairs/s on A100 is a
         # documented estimate (module docstring) — value (pairs/s) is the
         # trustworthy figure

@@ -112,6 +112,27 @@ def test_engine_fused_attn_matches_default():
                                atol=5e-4, rtol=1e-3)
 
 
+def test_engine_stacked_heads_match():
+    """stacked_heads=True (one vmapped grouped-conv program for both DPT
+    heads) must be numerically identical to the two-call path."""
+    cfg = TINY_TEST
+    params = init_align3r(jax.random.PRNGKey(0), cfg)
+    n, H, W = 3, 32, 48
+    imgs = jax.random.normal(jax.random.PRNGKey(7), (n, H, W, 3))
+    priors = jax.random.uniform(jax.random.PRNGKey(8), (n, H, W, 3))
+    pairs = make_pairs(n, "complete", symmetrize=False)
+    a = inference(pairs, params, cfg, imgs, priors, batch_size=3,
+                  dtype=jnp.float32)
+    b = inference(pairs, params, cfg, imgs, priors, batch_size=3,
+                  dtype=jnp.float32, stacked_heads=True)
+    np.testing.assert_allclose(np.asarray(a["pred1"]["pts3d"]),
+                               np.asarray(b["pred1"]["pts3d"]),
+                               atol=1e-5, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(a["pred2"]["conf"]),
+                               np.asarray(b["pred2"]["conf"]),
+                               atol=1e-5, rtol=1e-5)
+
+
 def test_bf16_head_option_close_to_fp32():
     """head_dtype=bf16 fast path stays close to the fp32 default."""
     import jax

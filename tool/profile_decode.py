@@ -206,36 +206,31 @@ def main():
             [jax.random.normal(key, (PB, N, cfg.dec_embed_dim), jnp.float32)
              for _ in range(3)]
 
-        def heads_only(hp, h0, rest):
-            r = apply_dpt_head(hp, [h0] + rest, (gh, gw), (H, W),
-                               cfg.depth_mode, cfg.conf_mode)
-            return jnp.sum(r["pts3d"])
-
-        dt = timed_calls(heads_only, params["head1"], hooks[0], hooks[1:],
-                         reps=max(args.reps // 2, 5))
-        print(f"one-dpt-head       {dt*1e3:8.3f} ms  ({dt/PB*1e3:.2f} ms/pair)")
-
-        def heads_bf16(hp, h0, rest):
-            r = apply_dpt_head(hp, [h0] + rest, (gh, gw), (H, W),
-                               cfg.depth_mode, cfg.conf_mode,
-                               dtype=jnp.bfloat16)
-            return jnp.sum(r["pts3d"])
-
-        dt = timed_calls(heads_bf16, params["head1"], hooks[0], hooks[1:],
-                         reps=max(args.reps // 2, 5))
-        print(f"one-dpt-head bf16  {dt*1e3:8.3f} ms  ({dt/PB*1e3:.2f} ms/pair)")
-
-        for hd, label in ((jnp.float32, "mxu-resize     "),
-                          (jnp.bfloat16, "mxu-resize bf16")):
-            def heads_mxu(hp, h0, rest, hd=hd):
+        for hd, resize, label in ((jnp.float32, "gather", "fp32 gather"),
+                                  (jnp.float32, "mxu", "fp32 mxu   "),
+                                  (jnp.bfloat16, "gather", "bf16 gather"),
+                                  (jnp.bfloat16, "mxu", "bf16 mxu   ")):
+            def heads_v(hp, h0, rest, hd=hd, resize=resize):
                 r = apply_dpt_head(hp, [h0] + rest, (gh, gw), (H, W),
                                    cfg.depth_mode, cfg.conf_mode, dtype=hd,
-                                   resize_impl="mxu")
+                                   resize_impl=resize)
                 return jnp.sum(r["pts3d"])
 
-            dt = timed_calls(heads_mxu, params["head1"], hooks[0], hooks[1:],
-                             reps=max(args.reps // 2, 5))
-            print(f"one-dpt-head {label} {dt*1e3:8.3f} ms  ({dt/PB*1e3:.2f} ms/pair)")
+            dt = timed_calls(heads_v, params["head1"], hooks[0], hooks[1:],
+                             reps=max(args.reps // 2, 10))
+            print(f"dpt-head {label}  {dt*1e3:8.3f} ms  ({dt/PB*1e3:.2f} ms/img)")
+
+        from align3r_tpu.models.dpt_head import apply_dpt_heads_stacked
+
+        def heads_both(p1, p2, h0, rest):
+            r1, r2 = apply_dpt_heads_stacked(p1, p2, [h0] + rest, [h0] + rest,
+                                             (gh, gw), (H, W), cfg.depth_mode,
+                                             cfg.conf_mode)
+            return jnp.sum(r1["pts3d"]) + jnp.sum(r2["pts3d"])
+
+        dt = timed_calls(heads_both, params["head1"], params["head2"],
+                         hooks[0], hooks[1:], reps=max(args.reps // 2, 10))
+        print(f"both-heads stacked {dt*1e3:8.3f} ms  ({dt/PB*1e3:.2f} ms/pair both)")
 
     if "matmul" in which or "all" in which:
         # ceiling check: one big bf16 matmul at decoder MLP size
