@@ -163,6 +163,24 @@ def _call(xq, xkv, wq, wk, wv, wo, bqkv, bo, cos, sin, lnq, lnkv,
     )(xq, xkv, wq, wk, wv, wo, bqkv, bo, cos, sin, lnq, lnkv)
 
 
+def _erf(x):
+    """fp32 erf, Abramowitz-Stegun 7.1.26 (|err| < 1.5e-7): Mosaic has no
+    erf/erfc lowering, so exact-GELU needs its own polynomial."""
+    a1, a2, a3, a4, a5 = (0.254829592, -0.284496736, 1.421413741,
+                          -1.453152027, 1.061405429)
+    p = 0.3275911
+    s = jnp.sign(x)
+    ax = jnp.abs(x)
+    t = 1.0 / (1.0 + p * ax)
+    poly = ((((a5 * t + a4) * t + a3) * t + a2) * t + a1) * t
+    return s * (1.0 - poly * jnp.exp(-ax * ax))
+
+
+def _gelu_exact(x):
+    """Exact-erf GELU (torch nn.GELU default) on fp32, via _erf."""
+    return 0.5 * x * (1.0 + _erf(x * 0.7071067811865476))
+
+
 def _mlp_kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, ln_ref, o_ref, *,
                 ln, residual):
     raw = x_ref[0, 0]                               # (N, C) bf16
@@ -170,7 +188,7 @@ def _mlp_kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, ln_ref, o_ref, *,
     h = jax.lax.dot_general(
         x, w1_ref[0], (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)         # (N, F)
-    h = jax.nn.gelu(h + b1_ref[0], approximate=False).astype(x.dtype)
+    h = _gelu_exact(h + b1_ref[0]).astype(x.dtype)
     y = jax.lax.dot_general(
         h, w2_ref[0], (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)         # (N, C)
