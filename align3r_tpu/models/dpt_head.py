@@ -83,20 +83,24 @@ def _fusion(p, x, skip=None, resize=nn.bilinear_resize):
 
 def apply_dpt_head(p, hook_tokens: List[jnp.ndarray], grid_hw, img_hw,
                    depth_mode=None, conf_mode=None, dtype=jnp.float32,
-                   resize_impl: str = "mxu"):
+                   resize_impl: str = "auto"):
     """hook_tokens: 4 arrays (B, N, C_hook) at hooks [0, 2l/4, 3l/4, l];
     grid_hw: (nh, nw) patch grid; img_hw: (H, W) output resolution.
     Runs in fp32 by default (reference forces heads out of autocast,
-    dust3r/model.py:252-254); dtype=jnp.bfloat16 is an opt-in fast path —
-    the conv pyramid runs bf16 (fp32 MXU accumulation either way) and the
+    dust3r/model.py:252-254); dtype=jnp.bfloat16 is the fast path — the
+    conv pyramid runs bf16 (fp32 MXU accumulation either way) and the
     final regression conv + postprocess exponentials stay fp32.
     Returns dict(pts3d, conf).
     """
     nh, nw = grid_hw
     H, W = img_hw
-    # 'mxu' expresses the bilinear upsamples as constant-matrix matmuls —
-    # measured 20% faster per head on v5e than the gather form (52.2 -> 42.0
-    # ms per 8-image batch, tool/profile_decode.py); numerics match to 1e-5.
+    # Pipelined v5e A/B per 8-image batch (tool/profile_decode.py --which
+    # heads): fp32+gather 23.3 ms, fp32+mxu 43.7, bf16+mxu 11.7, bf16+gather
+    # 23.4 — the constant-matrix ('mxu') resize only pays off in bf16, so
+    # 'auto' picks it by dtype. (An earlier synced measurement picked mxu
+    # for fp32; per-call tunnel latency had swamped the signal.)
+    if resize_impl == "auto":
+        resize_impl = "mxu" if dtype == jnp.bfloat16 else "gather"
     resize = nn.bilinear_resize if resize_impl == "gather" else nn.bilinear_resize_mxu
     maps = [t.astype(dtype).reshape(t.shape[0], nh, nw, t.shape[-1])
             for t in hook_tokens]

@@ -61,7 +61,8 @@ def test_inference_engine_matches_direct_forward():
     priors = jax.random.uniform(jax.random.PRNGKey(2), (n, H, W, 3))
 
     pairs = make_pairs(n, "swin-1-noncyclic", symmetrize=True)
-    out = inference(pairs, params, cfg, imgs, priors, batch_size=4, dtype=jnp.float32)
+    out = inference(pairs, params, cfg, imgs, priors, batch_size=4,
+                    dtype=jnp.float32, head_dtype=jnp.float32)
 
     E = len(pairs)
     assert out["pred1"]["pts3d"].shape == (E, H, W, 3)
@@ -101,9 +102,10 @@ def test_engine_fused_attn_matches_default():
     priors = jax.random.uniform(jax.random.PRNGKey(6), (n, H, W, 3))
     pairs = make_pairs(n, "complete", symmetrize=False)
     a = inference(pairs, params, cfg, imgs, priors, batch_size=3,
-                  dtype=jnp.float32)
+                  dtype=jnp.float32, head_dtype=jnp.float32)
     b = inference(pairs, params, cfg, imgs, priors, batch_size=3,
-                  dtype=jnp.float32, attn_impl="fused")
+                  dtype=jnp.float32, head_dtype=jnp.float32,
+                  attn_impl="fused")
     np.testing.assert_allclose(np.asarray(a["pred1"]["pts3d"]),
                                np.asarray(b["pred1"]["pts3d"]),
                                atol=5e-4, rtol=1e-3)
@@ -122,9 +124,10 @@ def test_engine_stacked_heads_match():
     priors = jax.random.uniform(jax.random.PRNGKey(8), (n, H, W, 3))
     pairs = make_pairs(n, "complete", symmetrize=False)
     a = inference(pairs, params, cfg, imgs, priors, batch_size=3,
-                  dtype=jnp.float32)
+                  dtype=jnp.float32, head_dtype=jnp.float32)
     b = inference(pairs, params, cfg, imgs, priors, batch_size=3,
-                  dtype=jnp.float32, stacked_heads=True)
+                  dtype=jnp.float32, head_dtype=jnp.float32,
+                  stacked_heads=True)
     np.testing.assert_allclose(np.asarray(a["pred1"]["pts3d"]),
                                np.asarray(b["pred1"]["pts3d"]),
                                atol=1e-5, rtol=1e-5)
@@ -147,7 +150,7 @@ def test_bf16_head_option_close_to_fp32():
     priors = jnp.asarray(rng.uniform(0, 1, (3, H, W, 3)), jnp.float32)
     pairs = [(0, 1), (1, 2)]
     o32 = engine_inference(pairs, params, TINY_TEST, imgs, priors,
-                           batch_size=2)
+                           batch_size=2, head_dtype=jnp.float32)
     o16 = engine_inference(pairs, params, TINY_TEST, imgs, priors,
                            batch_size=2, head_dtype=jnp.bfloat16)
     a = np.asarray(o32["pred1"]["pts3d"])
