@@ -50,7 +50,8 @@ def make_pairs(imgs: Sequence[Dict], scene_graph="complete", prefilter=None,
 
 
 def inference(pairs: Sequence[Tuple[Dict, Dict]], model: Align3RModel,
-              device=None, batch_size: int = 8, verbose: bool = True) -> Dict:
+              device=None, batch_size: int = 8, verbose: bool = True,
+              **engine_kw) -> Dict:
     """Reference dust3r.inference signature over view-dict pairs.
 
     Each view dict needs 'img' (1, H, W, 3) or (1, 3, H, W) in [-1, 1],
@@ -79,7 +80,7 @@ def inference(pairs: Sequence[Tuple[Dict, Dict]], model: Align3RModel,
     imgs = np.stack([img_of(views[k]) for k in order])
     priors = np.stack([np.asarray(views[k]["pred_depth"])[0] for k in order])
     out = _inf(idx_pairs, model.params, model.cfg, jnp.asarray(imgs),
-               jnp.asarray(priors), batch_size=batch_size)
+               jnp.asarray(priors), batch_size=batch_size, **engine_kw)
     # restore original view indices
     inv = {i: k for k, i in remap.items()}
     out["view1"]["idx"] = np.asarray([inv[i] for i in np.asarray(out["view1"]["idx"])])

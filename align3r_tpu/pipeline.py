@@ -195,13 +195,14 @@ def reconstruct_scene(
     scene_kw: Optional[Dict] = None,
     seed: int = 0,
     conf_clamp: Optional[float] = None,    # depth_test.py:638-639 conf>1 -> 10
+    inference_kw: Optional[Dict] = None,   # engine options, e.g. head_dtype
 ) -> SceneResult:
     """Full per-video solve. imgs: (n, H, W, 3) in [-1, 1]; priors: (n, H, W, 3)."""
     n = imgs.shape[0]
     pairs = make_pairs(n, scene_graph, symmetrize=symmetrize)
     output = inference(pairs, model_params, model_cfg,
                        jnp.asarray(imgs), jnp.asarray(priors),
-                       batch_size=batch_size)
+                       batch_size=batch_size, **(inference_kw or {}))
     if conf_clamp is not None:
         for k, key in (("pred1", "conf"), ("pred2", "conf")):
             c = output[k][key]
