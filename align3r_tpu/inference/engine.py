@@ -72,9 +72,10 @@ def _decode_batch_jit(params, feat1, feat2, pc1, pc2, cfg, img_hw,
                          head_dtype, attn_impl, stacked_heads)
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "dtype"))
-def _encode_all_jit(params, imgs, priors, cfg, dtype=jnp.bfloat16):
-    feats, _ = encode_images(params, imgs, cfg, dtype)
+@functools.partial(jax.jit, static_argnames=("cfg", "dtype", "attn_impl"))
+def _encode_all_jit(params, imgs, priors, cfg, dtype=jnp.bfloat16,
+                    attn_impl: str = "auto"):
+    feats, _ = encode_images(params, imgs, cfg, dtype, attn_impl)
     pc_tok, _ = embed_point_cloud(params, priors, cfg, dtype)
     return feats, pc_tok
 
@@ -83,7 +84,8 @@ def inference(pairs: Sequence[Tuple[int, int]], params, cfg: Align3RConfig,
               imgs: jnp.ndarray, priors: jnp.ndarray,
               batch_size: int = 8, dtype=jnp.bfloat16,
               encode_chunk: int = 16, head_dtype=jnp.bfloat16,
-              attn_impl: str = "auto", stacked_heads: bool = False) -> Dict:
+              attn_impl: str = "auto", stacked_heads: bool = False,
+              encode_attn_impl: str = "auto") -> Dict:
     """Run the two-view network over a frame graph.
 
     pairs: list of (i, j) index edges; imgs: (n, H, W, 3) normalised,
@@ -121,7 +123,7 @@ def inference(pairs: Sequence[Tuple[int, int]], params, cfg: Align3RConfig,
         if pad:
             im = jnp.concatenate([im, jnp.zeros((pad, H, W, 3), im.dtype)], axis=0)
             pr = jnp.concatenate([pr, jnp.zeros((pad, H, W, 3), pr.dtype)], axis=0)
-        f, pc = _encode_all_jit(params, im, pr, cfg, dtype)
+        f, pc = _encode_all_jit(params, im, pr, cfg, dtype, encode_attn_impl)
         feats_l.append(f[: e - s])
         pc_l.append(pc[: e - s])
     feats = jnp.concatenate(feats_l, axis=0)

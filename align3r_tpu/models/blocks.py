@@ -134,7 +134,7 @@ def init_block(key, dim: int, num_heads: int, mlp_ratio: float = 4.0, dtype=jnp.
 def apply_block(p, x, pos, num_heads: int, rope_base=100.0, attn_impl="auto"):
     if attn_impl == "fused":
         from align3r_tpu.ops.fused_site import (attention_site, mlp_site,
-                                                supported)
+                                                mlp_supported, supported)
         if supported(x[None], num_heads):
             C = x.shape[-1]
             a = p["attn"]
@@ -150,10 +150,15 @@ def apply_block(p, x, pos, num_heads: int, rope_base=100.0, attn_impl="auto"):
                                rope_base, ln_q=ln("norm1"), ln_kv="same",
                                residual=True)
             m = p["mlp"]
-            x = mlp_site(x, m["fc1"]["kernel"][None], m["fc1"]["bias"][None],
-                         m["fc2"]["kernel"][None], m["fc2"]["bias"][None],
-                         ln=ln("norm2"), residual=True)
-            return x[0]
+            if mlp_supported(x, m["fc1"]["kernel"].shape[-1]):
+                x = mlp_site(x, m["fc1"]["kernel"][None],
+                             m["fc1"]["bias"][None],
+                             m["fc2"]["kernel"][None],
+                             m["fc2"]["bias"][None],
+                             ln=ln("norm2"), residual=True)
+                return x[0]
+            x = x[0]
+            return x + apply_mlp(p["mlp"], nn.layernorm(p["norm2"], x))
         attn_impl = "auto"
     x = x + apply_attention(p["attn"], nn.layernorm(p["norm1"], x), pos,
                             num_heads, rope_base, attn_impl)
@@ -277,10 +282,16 @@ def apply_decoder_block_stacked(p, x, xpos, num_heads: int, rope_base=100.0,
                            pos0, num_heads, rope_base, ln_q=ln("norm2"),
                            ln_kv=ln("norm_y") if "norm_y" in p else None,
                            residual=True)
-        from align3r_tpu.ops.fused_site import mlp_site
-        return mlp_site(x, p["mlp"]["fc1"]["kernel"], p["mlp"]["fc1"]["bias"],
-                        p["mlp"]["fc2"]["kernel"], p["mlp"]["fc2"]["bias"],
-                        ln=ln("norm3"), residual=True)
+        from align3r_tpu.ops.fused_site import mlp_site, mlp_supported
+        if mlp_supported(x, p["mlp"]["fc1"]["kernel"].shape[-1]):
+            return mlp_site(x, p["mlp"]["fc1"]["kernel"],
+                            p["mlp"]["fc1"]["bias"],
+                            p["mlp"]["fc2"]["kernel"],
+                            p["mlp"]["fc2"]["bias"],
+                            ln=ln("norm3"), residual=True)
+        h = _gln(p["norm3"], x)
+        h = nn.gelu(_gdense(p["mlp"]["fc1"], h))
+        return x + _gdense(p["mlp"]["fc2"], h)
 
     # self-attention
     h = _gln(p["norm1"], x)

@@ -228,6 +228,14 @@ def _mlp_call(x, w1, b1, w2, b2, lnp, interpret: bool, ln: bool,
     )(x, w1, b1, w2, b2, lnp)
 
 
+def mlp_supported(x, hidden: int) -> bool:
+    """Whether the fused MLP site's working set fits VMEM: both weight
+    matrices stay resident plus the (N, F) hidden activations."""
+    *_, N, C = x.shape
+    working = 2 * C * hidden * 2 + N * hidden * (2 + 4) + 4 * N * C * 2
+    return working < 30 * 1024 * 1024
+
+
 def mlp_site(x, w1, b1, w2, b2, ln=None, residual: bool = False,
              interpret: bool | None = None):
     """Fused [LN+] fc1+GELU+fc2 [+residual] for stacked streams.
@@ -265,9 +273,12 @@ def supported(x, num_heads: int) -> bool:
     G, B, N, C = x.shape
     D = C // num_heads
     working = N * N * 4 + 3 * C * N * 2 + 4 * C * C * 2 + 4 * N * C * 2
+    # v5e VMEM comfortably fits the ViT-L decoder site (~12 MB) and encoder
+    # site (~18 MB) under the raised vmem_limit; gate well below the point
+    # where Mosaic would fail to allocate.
     return (C % num_heads == 0 and D % 8 == 0 and 8 <= D <= 128
             and D % 4 == 0 and N % 16 == 0
-            and working < 15 * 1024 * 1024)
+            and working < 26 * 1024 * 1024)
 
 
 def attention_site(xq, xkv, wq, wk, wv, wo, bq, bk, bv, bo, pos,
