@@ -82,9 +82,9 @@ def _encode_all_jit(params, imgs, priors, cfg, dtype=jnp.bfloat16,
 
 def inference(pairs: Sequence[Tuple[int, int]], params, cfg: Align3RConfig,
               imgs: jnp.ndarray, priors: jnp.ndarray,
-              batch_size: int = 8, dtype=jnp.bfloat16,
+              batch_size: int = 16, dtype=jnp.bfloat16,
               encode_chunk: int = 16, head_dtype=jnp.bfloat16,
-              attn_impl: str = "auto", stacked_heads: bool = False,
+              attn_impl: str | None = None, stacked_heads: bool = False,
               encode_attn_impl: str = "auto") -> Dict:
     """Run the two-view network over a frame graph.
 
@@ -107,6 +107,13 @@ def inference(pairs: Sequence[Tuple[int, int]], params, cfg: Align3RConfig,
     """
     n, H, W, _ = imgs.shape
     assert W >= H, "engine expects landscape images (pre-transpose portraits)"
+
+    if attn_impl is None:
+        # fused Pallas sites win on TPU (engine sweep: 128.9 vs 104.5
+        # pairs/s at bs=16, tool/tune_engine.py); interpret-mode Pallas on
+        # CPU would only slow tests down, so default to the XLA path there
+        attn_impl = ("fused" if jax.default_backend() in ("tpu", "axon")
+                     else "auto")
 
     # one-time decode prep: stream-stacked, bf16-kernel decoder weights
     # (otherwise every decode program re-copies ~900 MB of fp32 weights)

@@ -23,7 +23,7 @@ A100_REFERENCE_PAIRS_PER_SEC = 8.0  # documented estimate, see module docstring
 
 N_FRAMES = 24
 H, W = 288, 512
-BATCH = 8
+BATCH = 16  # engine sweep winner (tool/tune_engine.py): bs=16 + fused sites
 
 
 def main():
@@ -73,14 +73,16 @@ def main():
     np.asarray(acc)
     enc_ms_img = (time.perf_counter() - t0) / 4 / 16 * 1e3
     f1 = f[:BATCH]
+    impl = "fused" if jax.default_backend() in ("tpu", "axon") else "auto"
     r1, r2 = _decode_batch_jit(sparams, f1, f1, pc[:BATCH], pc[:BATCH], cfg,
-                               (H, W))
+                               (H, W), jnp.bfloat16, jnp.bfloat16, impl)
     np.asarray(jnp.sum(r1["pts3d"]))
     t0 = time.perf_counter()
     acc = None
     for _ in range(10):
         r1, r2 = _decode_batch_jit(sparams, f1, f1, pc[:BATCH], pc[:BATCH],
-                                   cfg, (H, W))
+                                   cfg, (H, W), jnp.bfloat16, jnp.bfloat16,
+                                   impl)
         s = jnp.sum(r1["pts3d"])
         acc = s if acc is None else acc + s
     np.asarray(acc)
