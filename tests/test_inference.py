@@ -114,6 +114,25 @@ def test_engine_fused_attn_matches_default():
                                atol=5e-4, rtol=1e-3)
 
 
+def test_engine_fused_encoder_matches_default():
+    """encode_attn_impl='fused' (encoder attention via the Pallas site)
+    equals the default encoder path in fp32."""
+    cfg = TINY_TEST
+    params = init_align3r(jax.random.PRNGKey(0), cfg)
+    n, H, W = 3, 32, 48
+    imgs = jax.random.normal(jax.random.PRNGKey(9), (n, H, W, 3))
+    priors = jax.random.uniform(jax.random.PRNGKey(10), (n, H, W, 3))
+    pairs = make_pairs(n, "complete", symmetrize=False)
+    a = inference(pairs, params, cfg, imgs, priors, batch_size=3,
+                  dtype=jnp.float32, head_dtype=jnp.float32)
+    b = inference(pairs, params, cfg, imgs, priors, batch_size=3,
+                  dtype=jnp.float32, head_dtype=jnp.float32,
+                  encode_attn_impl="fused")
+    np.testing.assert_allclose(np.asarray(a["pred1"]["pts3d"]),
+                               np.asarray(b["pred1"]["pts3d"]),
+                               atol=5e-4, rtol=1e-3)
+
+
 def test_engine_stacked_heads_match():
     """stacked_heads=True (one vmapped grouped-conv program for both DPT
     heads) must be numerically identical to the two-call path."""
