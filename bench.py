@@ -62,12 +62,15 @@ def main():
                                               _decode_batch_jit)
     from align3r_tpu.models.align3r import stack_decoder_params
     sparams = stack_decoder_params(params)
-    f, pc = _encode_all_jit(sparams, imgs[:16], priors[:16], cfg)
+    impl = "fused" if jax.default_backend() in ("tpu", "axon") else "auto"
+    f, pc = _encode_all_jit(sparams, imgs[:16], priors[:16], cfg,
+                            attn_impl=impl)
     np.asarray(jnp.sum(f))
     t0 = time.perf_counter()
     acc = None
     for _ in range(4):
-        f, pc = _encode_all_jit(sparams, imgs[:16], priors[:16], cfg)
+        f, pc = _encode_all_jit(sparams, imgs[:16], priors[:16], cfg,
+                                attn_impl=impl)
         s = jnp.sum(f)
         acc = s if acc is None else acc + s
     np.asarray(acc)
