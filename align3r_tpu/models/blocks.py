@@ -133,8 +133,9 @@ def init_block(key, dim: int, num_heads: int, mlp_ratio: float = 4.0, dtype=jnp.
 
 def apply_block(p, x, pos, num_heads: int, rope_base=100.0, attn_impl="auto"):
     if attn_impl == "fused":
-        from align3r_tpu.ops.fused_site import (attention_site, mlp_site,
-                                                mlp_supported, supported)
+        from align3r_tpu.ops.fused_site import (
+            attention_site_diff as attention_site,
+            mlp_site_diff as mlp_site, mlp_supported, supported)
         if supported(x[None], num_heads):
             C = x.shape[-1]
             a = p["attn"]
@@ -254,7 +255,8 @@ def apply_decoder_block_stacked(p, x, xpos, num_heads: int, rope_base=100.0,
         # whole attention sites (qkv+RoPE+attn+proj) as single Pallas
         # programs; requires one shared position grid across rows (engine
         # batches guarantee this — see ops/fused_site.py)
-        from align3r_tpu.ops.fused_site import attention_site, supported
+        from align3r_tpu.ops.fused_site import (attention_site_diff as
+                                                attention_site, supported)
         if not supported(x, num_heads):
             return apply_decoder_block_stacked(p, x, xpos, num_heads,
                                                rope_base, attn_impl="auto")
@@ -282,7 +284,8 @@ def apply_decoder_block_stacked(p, x, xpos, num_heads: int, rope_base=100.0,
                            pos0, num_heads, rope_base, ln_q=ln("norm2"),
                            ln_kv=ln("norm_y") if "norm_y" in p else None,
                            residual=True)
-        from align3r_tpu.ops.fused_site import mlp_site, mlp_supported
+        from align3r_tpu.ops.fused_site import (mlp_site_diff as mlp_site,
+                                                mlp_supported)
         if mlp_supported(x, p["mlp"]["fc1"]["kernel"].shape[-1]):
             return mlp_site(x, p["mlp"]["fc1"]["kernel"],
                             p["mlp"]["fc1"]["bias"],

@@ -255,6 +255,172 @@ def mlp_site(x, w1, b1, w2, b2, ln=None, residual: bool = False,
                      interpret, ln is not None, residual)
 
 
+# ------------------------------------------------- differentiable wrappers
+#
+# The Pallas kernels have no VJP; for training, attention_site_diff /
+# mlp_site_diff run the KERNEL forward and define the backward as the VJP
+# of the numerically-equivalent XLA computation (recompute-style — the same
+# trade jax.checkpoint makes). Gradients are therefore identical to the
+# XLA path's up to kernel-vs-XLA forward rounding.
+
+def _site_xla(xq, xkv, wq, wk, wv, wo, bq, bk, bv, bo, cos, sin,
+              lnq, lnkv, num_heads, ln_q, ln_kv, residual, scale):
+    """Pure-XLA computation matching _kernel (same op order / dtypes)."""
+    raw = xq
+    if ln_q:
+        xq = _ln(raw, lnq[:, None, None, 0], lnq[:, None, None, 1])
+    if ln_kv == "same":
+        xkv = xq
+    elif ln_kv:
+        xkv = _ln(xkv, lnkv[:, None, None, 0], lnkv[:, None, None, 1])
+    G, B, Nq, C = xq.shape
+    H = num_heads
+    D = C // H
+
+    def proj(w, x, b):
+        t = jnp.einsum("gbnc,gck->gbnk", x, w.astype(x.dtype),
+                       preferred_element_type=jnp.float32)
+        return (t + b[:, None, None]).astype(x.dtype)
+
+    q = proj(wq, xq, bq)
+    k = proj(wk, xkv, bk)
+    v = proj(wv, xkv, bv)
+    def rope_plain(t):
+        th = t.reshape(G, B, t.shape[2], H, D)                 # (G,B,N,H,D)
+        t5 = th.reshape(G, B, t.shape[2], H, 2, 2, D // 4)
+        rot = jnp.concatenate([-t5[..., 1:2, :], t5[..., 0:1, :]], axis=-2)
+        rot = rot.reshape(G, B, t.shape[2], H, D)
+        c = cos.T[None, None, :, None, :].astype(t.dtype)      # (1,1,N,1,D)
+        s = sin.T[None, None, :, None, :].astype(t.dtype)
+        return th * c + rot * s
+
+    qh = rope_plain(q)
+    kh = rope_plain(k)
+    vh = v.reshape(G, B, -1, H, D)
+    logits = jnp.einsum("gbqhd,gbkhd->gbhqk", qh, kh,
+                        preferred_element_type=jnp.float32) * scale
+    m = jax.lax.stop_gradient(jnp.max(logits, axis=-1, keepdims=True))
+    p = jnp.exp(logits - m)
+    ssum = jnp.sum(p, axis=-1, keepdims=True)
+    pn = (p / ssum).astype(v.dtype)
+    oh = jnp.einsum("gbhqk,gbkhd->gbqhd", pn, vh,
+                    preferred_element_type=jnp.float32).astype(v.dtype)
+    o = oh.reshape(G, B, -1, C)
+    y = jnp.einsum("gbnc,gck->gbnk", o, wo.astype(o.dtype),
+                   preferred_element_type=jnp.float32)
+    y = (y + bo[:, None, None]).astype(xq.dtype)
+    return raw + y if residual else y
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(12, 13, 14, 15))
+def _site_diff(xq, xkv, wq, wk, wv, wo, bq, bk, bv, bo, cos, sin,
+               num_heads, ln_q, ln_kv, residual, lnq, lnkv):
+    return _site_xla(xq, xkv, wq, wk, wv, wo, bq, bk, bv, bo, cos, sin,
+                     lnq, lnkv, num_heads, ln_q, ln_kv, residual,
+                     (xq.shape[-1] // num_heads) ** -0.5)
+
+
+def _site_diff_fwd(xq, xkv, wq, wk, wv, wo, bq, bk, bv, bo, cos, sin,
+                   num_heads, ln_q, ln_kv, residual, lnq, lnkv):
+    interpret = jax.default_backend() not in ("tpu", "axon")
+    bqkv = jnp.stack([bq, bk, bv, jnp.zeros_like(bq)], axis=-1)
+    out = _call(xq, xkv, wq.astype(xq.dtype), wk.astype(xq.dtype),
+                wv.astype(xq.dtype), wo.astype(xq.dtype),
+                bqkv.astype(jnp.float32),
+                bo.astype(jnp.float32)[:, None, :], cos, sin,
+                lnq, lnkv, num_heads, interpret, ln_q, ln_kv, residual)
+    return out, (xq, xkv, wq, wk, wv, wo, bq, bk, bv, bo, cos, sin,
+                 lnq, lnkv)
+
+
+def _site_diff_bwd(num_heads, ln_q, ln_kv, residual, res, g):
+    (xq, xkv, wq, wk, wv, wo, bq, bk, bv, bo, cos, sin, lnq, lnkv) = res
+    scale = (xq.shape[-1] // num_heads) ** -0.5
+
+    def f(xq, xkv, wq, wk, wv, wo, bq, bk, bv, bo, lnq, lnkv):
+        return _site_xla(xq, xkv, wq, wk, wv, wo, bq, bk, bv, bo, cos, sin,
+                         lnq, lnkv, num_heads, ln_q, ln_kv, residual, scale)
+
+    _, vjp = jax.vjp(f, xq, xkv, wq, wk, wv, wo, bq, bk, bv, bo, lnq, lnkv)
+    dxq, dxkv, dwq, dwk, dwv, dwo, dbq, dbk, dbv, dbo, dlnq, dlnkv = vjp(g)
+    zc = jnp.zeros_like(cos)
+    return (dxq, dxkv, dwq, dwk, dwv, dwo, dbq, dbk, dbv, dbo, zc, zc,
+            dlnq, dlnkv)
+
+
+_site_diff.defvjp(_site_diff_fwd, _site_diff_bwd)
+
+
+def attention_site_diff(xq, xkv, wq, wk, wv, wo, bq, bk, bv, bo, pos,
+                        num_heads: int, rope_base: float | None = 100.0,
+                        ln_q=None, ln_kv=None, residual: bool = False):
+    """Differentiable fused site: Pallas kernel forward, XLA-recompute
+    backward. Same contract as attention_site."""
+    G, B, Nq, C = xq.shape
+    D = C // num_heads
+    if rope_base is not None:
+        cos, sin = _rope_tables(pos, D, rope_base, xq.dtype)
+    else:
+        cos = jnp.ones((D, Nq), xq.dtype)
+        sin = jnp.zeros((D, Nq), xq.dtype)
+    pack = lambda ln: (jnp.stack(ln, axis=1).astype(jnp.float32) if ln
+                       else jnp.zeros((G, 2, C), jnp.float32))
+    lnq = pack(ln_q)
+    lnkv = pack(None if ln_kv in (None, "same") else ln_kv)
+    return _site_diff(xq, xkv, wq, wk, wv, wo, bq, bk, bv, bo, cos, sin,
+                      num_heads, ln_q is not None,
+                      "same" if ln_kv == "same" else ln_kv is not None,
+                      residual, lnq, lnkv)
+
+
+def _mlp_xla(x, w1, b1, w2, b2, lnp, ln, residual):
+    """Pure-XLA computation matching _mlp_kernel (exact-erf GELU — XLA has
+    erf, so the backward uses the exact gradient; the kernel forward's
+    polynomial differs by <=1.5e-7)."""
+    raw = x
+    if ln:
+        x = _ln(raw, lnp[:, None, None, 0], lnp[:, None, None, 1])
+    h = jnp.einsum("gbnc,gcf->gbnf", x, w1.astype(x.dtype),
+                   preferred_element_type=jnp.float32)
+    h = jax.nn.gelu(h + b1[:, None, None], approximate=False).astype(x.dtype)
+    y = jnp.einsum("gbnf,gfc->gbnc", h, w2.astype(x.dtype),
+                   preferred_element_type=jnp.float32)
+    y = (y + b2[:, None, None]).astype(raw.dtype)
+    return raw + y if residual else y
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7))
+def _mlp_diff(x, w1, b1, w2, b2, lnp, ln, residual):
+    return _mlp_xla(x, w1, b1, w2, b2, lnp, ln, residual)
+
+
+def _mlp_diff_fwd(x, w1, b1, w2, b2, lnp, ln, residual):
+    interpret = jax.default_backend() not in ("tpu", "axon")
+    out = _mlp_call(x, w1.astype(x.dtype), b1.astype(jnp.float32)[:, None, :],
+                    w2.astype(x.dtype), b2.astype(jnp.float32)[:, None, :],
+                    lnp, interpret, ln, residual)
+    return out, (x, w1, b1, w2, b2, lnp)
+
+
+def _mlp_diff_bwd(ln, residual, res, g):
+    x, w1, b1, w2, b2, lnp = res
+    _, vjp = jax.vjp(lambda *a: _mlp_xla(*a, ln, residual),
+                     x, w1, b1, w2, b2, lnp)
+    return vjp(g)
+
+
+_mlp_diff.defvjp(_mlp_diff_fwd, _mlp_diff_bwd)
+
+
+def mlp_site_diff(x, w1, b1, w2, b2, ln=None, residual: bool = False):
+    """Differentiable fused MLP site: kernel forward, XLA-recompute
+    backward. Same contract as mlp_site."""
+    G = x.shape[0]
+    lnp = (jnp.stack(ln, axis=1).astype(jnp.float32) if ln
+           else jnp.zeros((G, 2, x.shape[-1]), jnp.float32))
+    return _mlp_diff(x, w1, b1, w2, b2, lnp, ln is not None, residual)
+
+
 def _rope_tables(pos_row, D: int, base: float, dtype):
     """cos/sin (D, N) for one shared (N, 2) position grid, matching
     models.rope.apply_rope2d's table construction (y-half then x-half)."""

@@ -113,6 +113,39 @@ def test_decode_pair_fused_matches_auto():
                                    atol=5e-5, rtol=1e-4)
 
 
+def test_fused_gradients_match_xla():
+    """Gradients through decode_pair(attn_impl='fused') — the custom-VJP
+    diff wrappers (kernel forward, XLA-recompute backward) — must match the
+    plain XLA path's gradients in fp32."""
+    from align3r_tpu.models.config import Align3RConfig
+    from align3r_tpu.models.align3r import (init_align3r, encode_images,
+                                            embed_point_cloud, decode_pair)
+    cfg = Align3RConfig(img_size=(32, 48), patch_size=16, enc_embed_dim=64,
+                        enc_depth=2, enc_num_heads=2, dec_embed_dim=48,
+                        dec_depth=6, dec_num_heads=2)
+    params = init_align3r(jax.random.PRNGKey(0), cfg)
+    Bi, Hh, Ww = 1, 32, 48
+    img = jax.random.normal(jax.random.PRNGKey(1), (2 * Bi, Hh, Ww, 3))
+    feats, pos = encode_images(params, img, cfg, dtype=jnp.float32)
+    pc = jax.random.normal(jax.random.PRNGKey(2), (2 * Bi, Hh, Ww, 3))
+    pct, pcp = embed_point_cloud(params, pc, cfg, dtype=jnp.float32)
+    args = (feats[:Bi], pos[:Bi], feats[Bi:], pos[Bi:], pct, pcp)
+
+    def loss(params, impl):
+        h1, h2 = decode_pair(params, *args, cfg, dtype=jnp.float32,
+                             attn_impl=impl)
+        return sum(jnp.sum(h * h) for h in h1 + h2)
+
+    g_x = jax.grad(lambda p: loss(p, "xla"))(params)
+    g_f = jax.grad(lambda p: loss(p, "fused"))(params)
+    flat_x = jax.tree.leaves(g_x)
+    flat_f = jax.tree.leaves(g_f)
+    for a, b in zip(flat_x, flat_f):
+        scale = max(float(jnp.abs(a).max()), 1.0)
+        np.testing.assert_allclose(np.asarray(b) / scale,
+                                   np.asarray(a) / scale, atol=2e-5)
+
+
 def test_no_rope(setup):
     x, _, attn, _, pos = setup
     posb = jnp.broadcast_to(pos[None], (Bb, N, 2))
