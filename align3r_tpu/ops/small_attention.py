@@ -105,9 +105,25 @@ def small_attention(q, k, v, group: int = 4, interpret: bool | None = None,
                     unroll: bool = True):
     """Fused softmax attention for small N. q: (B, H, Nq, D); k/v:
     (B, H, Nk, D). fp32 softmax, output in q.dtype. Matches xla_attention
-    numerics (same fp32 accumulation points)."""
-    if interpret is None:
-        interpret = jax.default_backend() not in ("tpu", "axon")
+    numerics (same fp32 accumulation points).
+
+    Differentiable: the backward is the VJP of the numerically-equivalent
+    XLA attention (recompute-style) — without this, any differentiated
+    forward that dispatched here (training on TPU under attn_impl="auto")
+    failed with a Pallas linearization error. `interpret` is resolved
+    internally (kept in the signature for API compatibility).
+    """
+    del interpret
+    return _small_vjp(q, k, v, group, unroll)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def _small_vjp(q, k, v, group, unroll):
+    return _forward(q, k, v, group, unroll)
+
+
+def _forward(q, k, v, group, unroll):
+    interpret = jax.default_backend() not in ("tpu", "axon")
     B, H, Nq, D = q.shape
     Nk = k.shape[2]
     BH = B * H
@@ -119,3 +135,30 @@ def small_attention(q, k, v, group: int = 4, interpret: bool | None = None,
     vf = v.reshape(BH, Nk, D)
     out = _call(qf, kf, vf, g, interpret, unroll)
     return out.reshape(B, H, Nq, D)
+
+
+def _xla_equiv(q, k, v):
+    """The XLA computation small_attention matches (ops.attention
+    xla_attention's fp32 accumulation points), used only for the VJP."""
+    D = q.shape[-1]
+    logits = jnp.einsum("bhqd,bhkd->bhqk", q, k,
+                        preferred_element_type=jnp.float32) * D ** -0.5
+    m = jax.lax.stop_gradient(jnp.max(logits, axis=-1, keepdims=True))
+    p = jnp.exp(logits - m)
+    s = jnp.sum(p, axis=-1, keepdims=True)
+    out = jnp.einsum("bhqk,bhkd->bhqd", (p / s).astype(v.dtype), v,
+                     preferred_element_type=jnp.float32)
+    return out.astype(q.dtype)
+
+
+def _small_fwd(q, k, v, group, unroll):
+    return _forward(q, k, v, group, unroll), (q, k, v)
+
+
+def _small_bwd(group, unroll, res, g):
+    q, k, v = res
+    _, vjp = jax.vjp(_xla_equiv, q, k, v)
+    return vjp(g)
+
+
+_small_vjp.defvjp(_small_fwd, _small_bwd)

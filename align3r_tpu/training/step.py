@@ -90,20 +90,24 @@ def create_train_state(params, tx) -> TrainState:
 
 
 def loss_fn(params, batch, cfg: Align3RConfig, alpha: float = 0.2,
-            dtype=jnp.bfloat16, remat: bool = True):
+            dtype=jnp.bfloat16, remat: bool = True, attn_impl: str = "auto"):
     """batch: {'view1': {...gt+inputs...}, 'view2': {...}} with per-view keys
-    img, pred_depth (inputs) and pts3d, camera_pose, valid_mask (targets)."""
+    img, pred_depth (inputs) and pts3d, camera_pose, valid_mask (targets).
+    attn_impl="fused" routes the forward through the Pallas site kernels
+    (custom-VJP: XLA-recompute backward) — TPU-only speedup."""
     v1, v2 = batch["view1"], batch["view2"]
-    pred1, pred2 = apply_align3r(params, v1, v2, cfg, dtype=dtype, remat=remat)
+    pred1, pred2 = apply_align3r(params, v1, v2, cfg, dtype=dtype,
+                                 attn_impl=attn_impl, remat=remat)
     loss, details = conf_regr3d_loss(v1, v2, pred1, pred2, alpha=alpha)
     return loss, details
 
 
 def make_train_step(tx, cfg: Align3RConfig, alpha: float = 0.2,
-                    dtype=jnp.bfloat16, remat: bool = True):
+                    dtype=jnp.bfloat16, remat: bool = True,
+                    attn_impl: str = "auto"):
     def train_step(state: TrainState, batch) -> Tuple[TrainState, Dict]:
         (loss, details), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params, batch, cfg, alpha, dtype, remat)
+            state.params, batch, cfg, alpha, dtype, remat, attn_impl)
         updates, new_opt = tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
         metrics = dict(details, loss=loss,

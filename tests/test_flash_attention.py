@@ -101,3 +101,25 @@ class TestSmallAttention:
         assert supported(mk(576, 64), mk(576, 64), mk(576, 64))
         assert not supported(mk(48, 16), mk(48, 16), mk(48, 16))      # tiny: XLA
         assert not supported(mk(8192, 64), mk(8192, 64), mk(8192, 64))  # VMEM
+
+
+def test_small_attention_grad_matches_xla():
+    """small_attention must be differentiable (training on TPU dispatches
+    here under attn_impl='auto') with gradients equal to the XLA path's."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from align3r_tpu.ops.small_attention import small_attention
+    from align3r_tpu.ops.attention import xla_attention
+    key = jax.random.PRNGKey(0)
+    q = jax.random.normal(key, (2, 2, 64, 16))
+    k = jax.random.normal(jax.random.PRNGKey(1), (2, 2, 64, 16))
+    v = jax.random.normal(jax.random.PRNGKey(2), (2, 2, 64, 16))
+
+    gs = jax.grad(lambda q, k, v: jnp.sum(small_attention(q, k, v) ** 2),
+                  argnums=(0, 1, 2))(q, k, v)
+    gx = jax.grad(lambda q, k, v: jnp.sum(xla_attention(q, k, v) ** 2),
+                  argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(gs, gx):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=2e-5, rtol=1e-4)

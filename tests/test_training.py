@@ -104,6 +104,11 @@ def test_eval_step_runs():
 
 def test_train_step_sharded_8dev():
     """Data-parallel train step over the 8-device CPU mesh."""
+    # after a ~2h full-suite run the accumulated executable cache has twice
+    # segfaulted the CPU backend during this test's large sharded compile;
+    # dropping caches first keeps the full-suite run stable (the test has
+    # always passed in isolation)
+    jax.clear_caches()
     mesh = make_mesh(n_data=8)
     params = init_align3r(jax.random.PRNGKey(0), CFG)
     tx = make_optimizer(params, make_lr_schedule(1e-3, 1e-5, 0, 10, 10))
