@@ -22,3 +22,17 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def pytest_configure(config):
     config.addinivalue_line(
         "markers", "slow: long-running end-to-end test (deselect with -m 'not slow')")
+
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_per_module():
+    """Full-suite runs (~2 h, hundreds of compiled programs) have segfaulted
+    the CPU backend inside late test modules (twice in test_training, at
+    different tests; each passes in isolation). Dropping the executable
+    cache between modules bounds accumulated backend state; the recompiles
+    it costs are small next to suite runtime."""
+    jax.clear_caches()
+    yield

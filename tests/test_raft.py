@@ -222,3 +222,27 @@ def test_dwconv_groups_parity():
         feature_group_count=dim) + jnp.asarray(m.bias.detach().numpy())
     np.testing.assert_allclose(np.asarray(y), m(x).permute(0, 2, 3, 1).detach().numpy(),
                                atol=1e-5)
+
+
+def test_lookup_corr_onehot_matches_gather():
+    """The MXU one-hot lookup must equal the gather-form bilinear lookup."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from align3r_tpu.models.raft import lookup_corr, RAFTConfig
+    cfg = RAFTConfig()
+    B, h1, w1 = 2, 6, 8
+    N = h1 * w1
+    key = jax.random.PRNGKey(0)
+    pyramid = []
+    h2, w2 = h1, w1
+    for lvl in range(cfg.corr_levels):
+        pyramid.append(jax.random.normal(jax.random.fold_in(key, lvl),
+                                         (B, N, max(h2, 1), max(w2, 1))))
+        h2, w2 = h2 // 2, w2 // 2
+    coords = jax.random.uniform(jax.random.PRNGKey(1), (B, h1, w1, 2),
+                                minval=-2.0, maxval=10.0)
+    a = lookup_corr(pyramid, coords, cfg, impl="gather")
+    b = lookup_corr(pyramid, coords, cfg, impl="onehot")
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               atol=1e-5, rtol=1e-5)
