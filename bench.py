@@ -92,6 +92,7 @@ def main():
     dec_ms_pair = (time.perf_counter() - t0) / 10 / BATCH * 1e3
 
     align_ips = _bench_alignment()
+    raft_ms = _bench_raft()
 
     print(json.dumps({
         "metric": "image pairs/sec/chip (ViT-L 512x288, swinstride-5 graph)",
@@ -101,11 +102,33 @@ def main():
         "alignment_iters_per_sec": round(align_ips, 1),
         "encode_ms_per_img": round(enc_ms_img, 2),
         "decode_ms_per_pair": round(dec_ms_pair, 2),
+        "raft_flow_ms_per_img": round(raft_ms, 1),
         # the reference repo publishes no numbers; 8 pairs/s on A100 is a
         # documented estimate (module docstring) — value (pairs/s) is the
         # trustworthy figure
         "baseline_is_estimate": True,
     }))
+
+
+def _bench_raft():
+    """Tertiary metric: SEA-RAFT optical flow (20 iters, the flow-variant
+    aligner's per-edge precompute — reference hot path #3) in ms/image."""
+    import jax
+    import jax.numpy as jnp
+    from align3r_tpu.models.raft import init_raft, raft_forward, SPRING_M
+    try:
+        rp = init_raft(jax.random.PRNGKey(3), SPRING_M)
+        B = 8
+        i1 = jax.random.uniform(jax.random.PRNGKey(4), (B, H, W, 3)) * 255
+        i2 = jax.random.uniform(jax.random.PRNGKey(5), (B, H, W, 3)) * 255
+        flow = jax.jit(lambda a, b: raft_forward(rp, a, b, SPRING_M, iters=20))
+        np.asarray(jnp.sum(flow(i1, i2)))
+        t0 = time.perf_counter()
+        outs = [flow(i1, i2) for _ in range(3)]
+        np.asarray(sum(jnp.sum(o) for o in outs))
+        return (time.perf_counter() - t0) / 3 / B * 1e3
+    except Exception:  # noqa: BLE001 — keep the bench line printing
+        return -1.0
 
 
 def _bench_alignment():
