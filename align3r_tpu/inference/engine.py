@@ -72,6 +72,34 @@ def _decode_batch_jit(params, feat1, feat2, pc1, pc2, cfg, img_hw,
                          head_dtype, attn_impl, stacked_heads)
 
 
+@functools.partial(jax.jit,
+                   static_argnames=("cfg", "img_hw", "dtype", "head_dtype",
+                                    "attn_impl", "stacked_heads"))
+def _decode_all_jit(params, feats, pc_tok, bi, bj, cfg, img_hw,
+                    dtype=jnp.bfloat16, head_dtype=jnp.float32,
+                    attn_impl: str = "auto", stacked_heads: bool = False):
+    """Whole decode phase as ONE dispatch: lax.scan over padded pair
+    batches (bi/bj: (n_batches, batch) image indices). A per-batch host
+    loop costs ~11 dispatches per batch, and when the TPU tunnel enters a
+    slow-dispatch phase that overhead leaks straight into throughput
+    (measured 130 -> 85 pairs/s with identical programs); one scan makes
+    the decode phase latency-immune like the alignment solve."""
+    def body(_, idx):
+        i, j = idx
+        r1, r2 = _decode_batch(params, jnp.take(feats, i, axis=0),
+                               jnp.take(feats, j, axis=0),
+                               jnp.take(pc_tok, i, axis=0),
+                               jnp.take(pc_tok, j, axis=0),
+                               cfg, img_hw, dtype, head_dtype, attn_impl,
+                               stacked_heads)
+        return None, (r1, r2)
+
+    _, (outs1, outs2) = jax.lax.scan(body, None, (bi, bj))
+    # (n_batches, batch, ...) -> (n_batches*batch, ...)
+    flat = lambda t: t.reshape((-1,) + t.shape[2:])
+    return jax.tree.map(flat, outs1), jax.tree.map(flat, outs2)
+
+
 @functools.partial(jax.jit, static_argnames=("cfg", "dtype", "attn_impl"))
 def _encode_all_jit(params, imgs, priors, cfg, dtype=jnp.bfloat16,
                     attn_impl: str = "auto"):
@@ -140,28 +168,45 @@ def inference(pairs: Sequence[Tuple[int, int]], params, cfg: Align3RConfig,
     feats = jnp.concatenate(feats_l, axis=0)
     pc_tok = jnp.concatenate(pc_l, axis=0)
 
-    # 3) decoder over pair batches
+    # 3) decoder over pair batches. Full groups of SCAN_NB batches run as
+    # ONE scan dispatch (fixed scan length -> one compiled program for any
+    # edge count); the ragged tail reuses the single-batch program. This
+    # keeps dispatch count ~1/8th of a pure per-batch loop, which matters
+    # because tunnel slow-dispatch phases otherwise leak host latency into
+    # throughput (measured 130 -> 85 pairs/s with identical device code).
+    SCAN_NB = 8
     idx_i = np.array([p[0] for p in pairs], np.int32)
     idx_j = np.array([p[1] for p in pairs], np.int32)
     E = len(pairs)
+    n_batches = -(-E // batch_size)
+    pad = n_batches * batch_size - E
+    bi = np.concatenate([idx_i, np.zeros(pad, np.int32)]).reshape(
+        n_batches, batch_size)
+    bj = np.concatenate([idx_j, np.zeros(pad, np.int32)]).reshape(
+        n_batches, batch_size)
     outs1, outs2 = [], []
-    for s in range(0, E, batch_size):
-        e = min(s + batch_size, E)
-        bi, bj = idx_i[s:e], idx_j[s:e]
-        pad = batch_size - (e - s)
-        if pad:
-            bi = np.concatenate([bi, np.zeros(pad, np.int32)])
-            bj = np.concatenate([bj, np.zeros(pad, np.int32)])
-        f1 = jnp.take(feats, jnp.asarray(bi), axis=0)
-        f2 = jnp.take(feats, jnp.asarray(bj), axis=0)
-        p1 = jnp.take(pc_tok, jnp.asarray(bi), axis=0)
-        p2 = jnp.take(pc_tok, jnp.asarray(bj), axis=0)
-        r1, r2 = _decode_batch_jit(params, f1, f2, p1, p2, cfg, (H, W),
-                                   dtype, head_dtype, attn_impl, stacked_heads)
-        outs1.append(jax.tree.map(lambda x: x[: e - s], r1))
-        outs2.append(jax.tree.map(lambda x: x[: e - s], r2))
-
-    cat = lambda outs: jax.tree.map(lambda *xs: jnp.concatenate(xs, axis=0), *outs)
+    n_full = (n_batches // SCAN_NB) * SCAN_NB
+    for s in range(0, n_full, SCAN_NB):
+        r1, r2 = _decode_all_jit(params, feats, pc_tok,
+                                 jnp.asarray(bi[s:s + SCAN_NB]),
+                                 jnp.asarray(bj[s:s + SCAN_NB]),
+                                 cfg, (H, W), dtype, head_dtype, attn_impl,
+                                 stacked_heads)
+        outs1.append(r1)
+        outs2.append(r2)
+    for s in range(n_full, n_batches):
+        i = jnp.asarray(bi[s])
+        j = jnp.asarray(bj[s])
+        r1, r2 = _decode_batch_jit(params, jnp.take(feats, i, axis=0),
+                                   jnp.take(feats, j, axis=0),
+                                   jnp.take(pc_tok, i, axis=0),
+                                   jnp.take(pc_tok, j, axis=0),
+                                   cfg, (H, W), dtype, head_dtype, attn_impl,
+                                   stacked_heads)
+        outs1.append(r1)
+        outs2.append(r2)
+    cat = lambda outs: jax.tree.map(lambda *xs: jnp.concatenate(xs, axis=0)[:E],
+                                    *outs)
     res1, res2 = cat(outs1), cat(outs2)
     res2["pts3d_in_other_view"] = res2.pop("pts3d")
     return {

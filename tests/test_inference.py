@@ -92,6 +92,25 @@ def test_inference_engine_padding_last_batch():
     assert np.isfinite(np.asarray(out["pred1"]["pts3d"])).all()
 
 
+def test_engine_scan_chunk_path_matches_per_batch():
+    """With >= 8 batches the engine runs full groups through the one-scan
+    decode dispatch; results must equal the per-batch path (same program,
+    different batching)."""
+    cfg = TINY_TEST
+    params = init_align3r(jax.random.PRNGKey(0), cfg)
+    n, H, W = 5, 32, 48
+    imgs = jax.random.normal(jax.random.PRNGKey(11), (n, H, W, 3))
+    priors = jax.random.uniform(jax.random.PRNGKey(12), (n, H, W, 3))
+    pairs = make_pairs(n, "complete", symmetrize=False)  # 10 edges
+    a = inference(pairs, params, cfg, imgs, priors, batch_size=1,
+                  dtype=jnp.float32, head_dtype=jnp.float32)  # scan(8)+2 tail
+    b = inference(pairs, params, cfg, imgs, priors, batch_size=16,
+                  dtype=jnp.float32, head_dtype=jnp.float32)  # 1 tail batch
+    np.testing.assert_allclose(np.asarray(a["pred1"]["pts3d"]),
+                               np.asarray(b["pred1"]["pts3d"]),
+                               atol=2e-4, rtol=1e-3)
+
+
 def test_engine_fused_attn_matches_default():
     """attn_impl='fused' (Pallas site kernels) through the engine equals the
     default path in fp32."""
