@@ -312,23 +312,32 @@ def _site_xla(xq, xkv, wq, wk, wv, wo, bq, bk, bv, bo, cos, sin,
     return raw + y if residual else y
 
 
+def _site_kernel_call(xq, xkv, wq, wk, wv, wo, bq, bk, bv, bo, cos, sin,
+                      num_heads, ln_q, ln_kv, residual, lnq, lnkv):
+    interpret = jax.default_backend() not in ("tpu", "axon")
+    bqkv = jnp.stack([bq, bk, bv, jnp.zeros_like(bq)], axis=-1)
+    return _call(xq, xkv, wq.astype(xq.dtype), wk.astype(xq.dtype),
+                 wv.astype(xq.dtype), wo.astype(xq.dtype),
+                 bqkv.astype(jnp.float32),
+                 bo.astype(jnp.float32)[:, None, :], cos, sin,
+                 lnq, lnkv, num_heads, interpret, ln_q, ln_kv, residual)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(12, 13, 14, 15))
 def _site_diff(xq, xkv, wq, wk, wv, wo, bq, bk, bv, bo, cos, sin,
                num_heads, ln_q, ln_kv, residual, lnq, lnkv):
-    return _site_xla(xq, xkv, wq, wk, wv, wo, bq, bk, bv, bo, cos, sin,
-                     lnq, lnkv, num_heads, ln_q, ln_kv, residual,
-                     (xq.shape[-1] // num_heads) ** -0.5)
+    # the primal body runs in plain (non-differentiated) evaluation, so it
+    # MUST be the kernel — the XLA twin exists only for the backward rule
+    return _site_kernel_call(xq, xkv, wq, wk, wv, wo, bq, bk, bv, bo,
+                             cos, sin, num_heads, ln_q, ln_kv, residual,
+                             lnq, lnkv)
 
 
 def _site_diff_fwd(xq, xkv, wq, wk, wv, wo, bq, bk, bv, bo, cos, sin,
                    num_heads, ln_q, ln_kv, residual, lnq, lnkv):
-    interpret = jax.default_backend() not in ("tpu", "axon")
-    bqkv = jnp.stack([bq, bk, bv, jnp.zeros_like(bq)], axis=-1)
-    out = _call(xq, xkv, wq.astype(xq.dtype), wk.astype(xq.dtype),
-                wv.astype(xq.dtype), wo.astype(xq.dtype),
-                bqkv.astype(jnp.float32),
-                bo.astype(jnp.float32)[:, None, :], cos, sin,
-                lnq, lnkv, num_heads, interpret, ln_q, ln_kv, residual)
+    out = _site_kernel_call(xq, xkv, wq, wk, wv, wo, bq, bk, bv, bo,
+                            cos, sin, num_heads, ln_q, ln_kv, residual,
+                            lnq, lnkv)
     return out, (xq, xkv, wq, wk, wv, wo, bq, bk, bv, bo, cos, sin,
                  lnq, lnkv)
 
@@ -389,16 +398,23 @@ def _mlp_xla(x, w1, b1, w2, b2, lnp, ln, residual):
     return raw + y if residual else y
 
 
+def _mlp_kernel_call(x, w1, b1, w2, b2, lnp, ln, residual):
+    interpret = jax.default_backend() not in ("tpu", "axon")
+    return _mlp_call(x, w1.astype(x.dtype),
+                     b1.astype(jnp.float32)[:, None, :],
+                     w2.astype(x.dtype), b2.astype(jnp.float32)[:, None, :],
+                     lnp, interpret, ln, residual)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7))
 def _mlp_diff(x, w1, b1, w2, b2, lnp, ln, residual):
-    return _mlp_xla(x, w1, b1, w2, b2, lnp, ln, residual)
+    # primal body = the kernel (runs in plain evaluation); XLA twin is the
+    # backward rule only
+    return _mlp_kernel_call(x, w1, b1, w2, b2, lnp, ln, residual)
 
 
 def _mlp_diff_fwd(x, w1, b1, w2, b2, lnp, ln, residual):
-    interpret = jax.default_backend() not in ("tpu", "axon")
-    out = _mlp_call(x, w1.astype(x.dtype), b1.astype(jnp.float32)[:, None, :],
-                    w2.astype(x.dtype), b2.astype(jnp.float32)[:, None, :],
-                    lnp, interpret, ln, residual)
+    out = _mlp_kernel_call(x, w1, b1, w2, b2, lnp, ln, residual)
     return out, (x, w1, b1, w2, b2, lnp)
 
 
