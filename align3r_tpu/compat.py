@@ -57,8 +57,13 @@ def inference(pairs: Sequence[Tuple[Dict, Dict]], model: Align3RModel,
     Each view dict needs 'img' (1, H, W, 3) or (1, 3, H, W) in [-1, 1],
     'pred_depth' (1, H, W, 3) and 'idx'. Returns the reference output
     contract {view1, view2, pred1, pred2} (numpy, channel-last).
+
+    The compat layer keeps the reference AMP rule (heads fp32,
+    dust3r/model.py:252) — the perf-oriented engine defaults to bf16 heads
+    and callers can still opt in via head_dtype=jnp.bfloat16.
     """
     from align3r_tpu.inference.engine import inference as _inf
+    engine_kw.setdefault("head_dtype", jnp.float32)
 
     # collect unique views by idx
     views: Dict[int, Dict] = {}

@@ -265,6 +265,13 @@ def decode_pair(params: Params, feat1, pos1, feat2, pos2, pc_tokens, pc_pos,
     return hook_list(feat1, ymap1), hook_list(feat2, ymap2)
 
 
+# stack_decoder_params cache: repeated per-video engine calls pass the SAME
+# raw params dict, and restacking discards + rebuilds the full decoder weight
+# set each time. Keyed on (id(params), dtype); the cache value pins the
+# original dict so its id cannot be recycled. Bounded to a couple of models.
+_STACK_CACHE: dict = {}
+
+
 def stack_decoder_params(params: Params, dtype=jnp.bfloat16) -> Params:
     """One-time decode prep: adds 'dec_blocks_lg', the two decoder streams'
     per-layer params stacked over a stream axis ((L, 2, ...) leaves), with
@@ -276,9 +283,16 @@ def stack_decoder_params(params: Params, dtype=jnp.bfloat16) -> Params:
     halves their HBM read traffic per layer; numerics are unchanged because
     the block functions cast kernels to the activation dtype at use anyway
     (LayerNorm params and biases stay fp32).
+
+    Results are memoised on the identity of `params` (mutating a cached
+    params dict in place and re-calling is not supported — reload instead).
     """
     if "dec_blocks_lg" in params:
         return params
+    ck = (id(params), jnp.dtype(dtype).name)
+    hit = _STACK_CACHE.get(ck)
+    if hit is not None and hit[0] is params:
+        return hit[1]
 
     def cast_kernels(node):
         if isinstance(node, dict):
@@ -290,6 +304,9 @@ def stack_decoder_params(params: Params, dtype=jnp.bfloat16) -> Params:
                       params["dec_blocks"], params["dec_blocks2"])
     out = dict(params)
     out["dec_blocks_lg"] = cast_kernels(lg)
+    if len(_STACK_CACHE) >= 4:
+        _STACK_CACHE.pop(next(iter(_STACK_CACHE)))
+    _STACK_CACHE[ck] = (params, out)
     return out
 
 

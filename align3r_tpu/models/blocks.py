@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from align3r_tpu.models import nn
 from align3r_tpu.models.rope import apply_rope2d, make_grid_positions
@@ -55,19 +56,8 @@ def _merge_heads(x):
 
 def _attend_with_rope(q, k, v, qpos, kpos, rope_base, attn_impl: str):
     """RoPE2D rotation (constant-matmul form) then attention via the
-    ops.attention dispatch ('auto' resolves to flash on TPU). 'pallas'
-    selects the in-repo fused RoPE+attention kernel (opt-in)."""
-    if attn_impl == "pallas":
-        from align3r_tpu.ops.flash_attention import flash_attention, rope2d_cos_sin
-        D = q.shape[-1]
-        if rope_base is not None:
-            qc, qs = rope2d_cos_sin(qpos, D, rope_base, q.dtype)
-            if kpos is qpos:
-                kc, ks = qc, qs
-            else:
-                kc, ks = rope2d_cos_sin(kpos, D, rope_base, q.dtype)
-            return flash_attention(q, k, v, qc, qs, kc, ks)
-        return flash_attention(q, k, v)
+    ops.attention dispatch ('auto' resolves to the small_attention kernel
+    on TPU; see ops/attention.py DEFAULT_TPU_IMPL)."""
     if rope_base is not None:
         q = apply_rope2d(q, qpos, rope_base)
         k = apply_rope2d(k, kpos, rope_base)
@@ -76,12 +66,28 @@ def _attend_with_rope(q, k, v, qpos, kpos, rope_base, attn_impl: str):
     return attention(q, k, v, impl=attn_impl)
 
 
+def _fused_pos_ok(pos) -> bool:
+    """The fused sites use ONE shared position grid for every batch row and
+    both streams (ops/fused_site.py takes a single (N, 2) grid).  Engine /
+    training batches guarantee row-invariant positions by construction
+    (make_grid_positions broadcasts one grid), but attn_impl='fused' is a
+    public knob — verify eagerly when the positions are concrete so an
+    external caller with heterogeneous per-row positions falls back to the
+    unfused path instead of getting silently wrong RoPE.  Tracers (already
+    inside jit) are accepted: every in-repo jit entry point builds the grid
+    with make_grid_positions."""
+    if isinstance(pos, jax.core.Tracer):
+        return True
+    p = np.asarray(pos).reshape(-1, pos.shape[-2], pos.shape[-1])
+    return p.shape[0] == 1 or bool((p == p[:1]).all())
+
+
 def apply_attention(p, x, pos, num_heads: int, rope_base: float | None = 100.0,
                     attn_impl: str = "auto"):
     """Self-attention with RoPE2D on q, k. x: (B, N, C); pos: (B, N, 2)."""
     if attn_impl == "fused":
         from align3r_tpu.ops.fused_site import attention_site, supported
-        if supported(x[None], num_heads):
+        if supported(x[None], num_heads) and _fused_pos_ok(pos):
             C = x.shape[-1]
             qk = p["qkv"]["kernel"][None]
             qb = p["qkv"].get("bias")
@@ -136,7 +142,7 @@ def apply_block(p, x, pos, num_heads: int, rope_base=100.0, attn_impl="auto"):
         from align3r_tpu.ops.fused_site import (
             attention_site_diff as attention_site,
             mlp_site_diff as mlp_site, mlp_supported, supported)
-        if supported(x[None], num_heads):
+        if supported(x[None], num_heads) and _fused_pos_ok(pos):
             C = x.shape[-1]
             a = p["attn"]
             qk = a["qkv"]["kernel"][None]
@@ -257,7 +263,7 @@ def apply_decoder_block_stacked(p, x, xpos, num_heads: int, rope_base=100.0,
         # batches guarantee this — see ops/fused_site.py)
         from align3r_tpu.ops.fused_site import (attention_site_diff as
                                                 attention_site, supported)
-        if not supported(x, num_heads):
+        if not supported(x, num_heads) or not _fused_pos_ok(xpos):
             return apply_decoder_block_stacked(p, x, xpos, num_heads,
                                                rope_base, attn_impl="auto")
         pos0 = xpos[0, 0]

@@ -133,7 +133,7 @@ def apply_dpt_head(p, hook_tokens: List[jnp.ndarray], grid_hw, img_hw,
 
 def apply_dpt_heads_stacked(p1, p2, hooks1, hooks2, grid_hw, img_hw,
                             depth_mode=None, conf_mode=None,
-                            dtype=jnp.float32, resize_impl: str = "mxu"):
+                            dtype=jnp.float32, resize_impl: str = "auto"):
     """Run BOTH downstream heads as one vmapped program.
 
     XLA lowers the vmapped convolutions to grouped convs (one kernel per

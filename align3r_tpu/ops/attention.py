@@ -69,10 +69,10 @@ def stock_flash_attention(q, k, v):
 def attention(q, k, v, impl: str = "auto"):
     """Dispatch attention implementation.
 
-    impl: 'auto' | 'xla' | 'flash' | 'pallas'. 'auto' resolves to
-    DEFAULT_TPU_IMPL on TPU when shapes allow, else XLA. 'flash' is the
-    stock JAX Pallas TPU kernel (fwd+bwd); 'pallas' is the in-repo fused
-    RoPE kernel (opt-in, see ops/flash_attention.py).
+    impl: 'auto' | 'xla' | 'small' | 'flash'. 'auto' resolves to
+    DEFAULT_TPU_IMPL ('small', the VMEM-resident small_attention kernel) on
+    TPU when shapes allow, else XLA. 'flash' is the stock JAX Pallas TPU
+    kernel (fwd+bwd), kept as the long-sequence fallback.
     """
     if impl == "auto":
         from align3r_tpu.ops.small_attention import supported as small_ok
@@ -91,7 +91,4 @@ def attention(q, k, v, impl: str = "auto"):
         if not flash_ok(q, k, v):
             return xla_attention(q, k, v)
         return stock_flash_attention(q, k, v)
-    if impl == "pallas":
-        from align3r_tpu.ops.flash_attention import flash_attention
-        return flash_attention(q, k, v)
     raise ValueError(f"unknown attention impl {impl!r}")

@@ -1,10 +1,12 @@
 """Stock JAX Pallas TPU flash attention vs the XLA reference path.
 
-The TPU decode path resolves attn_impl='auto' to the stock flash kernel
-(ops.attention.DEFAULT_TPU_IMPL): the XLA path materialises (B, H, N, N)
-fp32 logits in HBM (reference semantics croco/models/blocks.py:94-112);
-flash streams them through VMEM. Numerics must match fwd + bwd, including
-the N -> 128-multiple padding with segment-id masking.
+On TPU attn_impl='auto' resolves to the small_attention kernel
+(ops.attention.DEFAULT_TPU_IMPL='small'); the stock flash kernel is the
+long-sequence fallback when small_attention's VMEM residency doesn't hold.
+The XLA path materialises (B, H, N, N) fp32 logits in HBM (reference
+semantics croco/models/blocks.py:94-112); flash streams them through VMEM.
+Numerics must match fwd + bwd, including the N -> 128-multiple padding
+with segment-id masking.
 """
 import jax
 import jax.numpy as jnp
