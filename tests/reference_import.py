@@ -13,8 +13,115 @@ functions) keep working after the purge — only the ``sys.modules`` /
 import contextlib
 import os
 import sys
+import types
 
 REF = "/root/reference"
+
+# stub modules installed by install_reference_dep_stubs, purged together
+# with the reference modules on reference_on_path() exit
+_STUB_NAMES: set = set()
+
+
+def install_reference_dep_stubs():
+    """Stub the reference's unimportable third-party deps (zero-egress
+    container: wandb/roma/torchvision/evo are not installed) so its
+    cloud_opt optimizers import on CPU.
+
+    Only `roma` carries math the optimizers actually execute
+    (base_opt.py:184-209): RigidUnitQuat (XYZW quat + translation ->
+    homogeneous matrix) and rotmat_to_unitquat.  Both are implemented here
+    against scipy (test_reference_solve_parity cross-checks the quat->R
+    formula against scipy.spatial.transform.Rotation).  Everything else is
+    imported at module scope but unused on the solve path (wandb is a stray
+    import in cloud_opt/__init__.py; torchvision feeds utils/image.py's
+    loader; evo feeds vo_eval's trajectory metrics).
+    """
+    import numpy as np
+    import torch
+
+    def stub(name, **attrs):
+        m = sys.modules.get(name)
+        if m is None:
+            m = types.ModuleType(name)
+            sys.modules[name] = m
+            _STUB_NAMES.add(name)
+        for k, v in attrs.items():
+            setattr(m, k, v)
+        return m
+
+    w = stub("wandb")
+    w.wandb_torch = stub("wandb.wandb_torch", torch=torch)
+
+    # --- roma (the one real dependency on the solve path) ---
+    def _quat_to_R(q):  # XYZW, unit
+        x, y, z, we = q.unbind(-1)
+        xx, yy, zz = x * x, y * y, z * z
+        xy, xz, yz = x * y, x * z, y * z
+        wx, wy, wz = we * x, we * y, we * z
+        R = torch.stack([
+            1 - 2 * (yy + zz), 2 * (xy - wz), 2 * (xz + wy),
+            2 * (xy + wz), 1 - 2 * (xx + zz), 2 * (yz - wx),
+            2 * (xz - wy), 2 * (yz + wx), 1 - 2 * (xx + yy)], dim=-1)
+        return R.reshape(q.shape[:-1] + (3, 3))
+
+    class RigidUnitQuat:
+        def __init__(self, linear, translation):
+            self.linear, self.translation = linear, translation
+
+        def normalize(self):
+            return RigidUnitQuat(
+                self.linear / self.linear.norm(dim=-1, keepdim=True),
+                self.translation)
+
+        def to_homogeneous(self):
+            q, t = self.linear, self.translation
+            R = _quat_to_R(q)
+            top = torch.cat([R, t.unsqueeze(-1)], dim=-1)
+            bot = torch.zeros_like(top[..., :1, :])
+            bot = torch.cat([bot[..., :3], torch.ones_like(bot[..., :1])], -1)
+            return torch.cat([top, bot], dim=-2)
+
+    def rotmat_to_unitquat(R):
+        from scipy.spatial.transform import Rotation
+        return torch.from_numpy(
+            Rotation.from_matrix(np.asarray(R.detach().cpu(), np.float64))
+            .as_quat().astype(np.float32))
+
+    stub("roma", RigidUnitQuat=RigidUnitQuat,
+         rotmat_to_unitquat=rotmat_to_unitquat, _quat_to_R=_quat_to_R)
+
+    # --- torchvision (utils/image.py loader transforms; unused here) ---
+    class _Identity:
+        def __init__(self, *a, **k):
+            pass
+
+        def __call__(self, x):
+            return x
+
+    tv = stub("torchvision")
+    tv.transforms = stub("torchvision.transforms", Compose=_Identity,
+                         ToTensor=_Identity, Normalize=_Identity)
+
+    # --- evo (vo_eval trajectory metrics; unused on the solve path) ---
+    stub("evo")
+    stub("evo.main_ape", ape=None)
+    stub("evo.main_rpe", rpe=None)
+    core = stub("evo.core", sync=None)
+    core.sync = stub("evo.core.sync", associate_trajectories=None)
+    core.metrics = stub("evo.core.metrics", PoseRelation=None, Unit=None)
+    core.trajectory = stub("evo.core.trajectory", PosePath3D=None,
+                           PoseTrajectory3D=None)
+    tools = stub("evo.tools")
+    tools.file_interface = stub("evo.tools.file_interface")
+    tools.plot = stub("evo.tools.plot")
+
+    # --- sam2 + third_party.raft (cloud_opt_flow/optimizer.py module-scope
+    # imports; only exercised by get_flow()/refine_motion_mask_w_sam2(),
+    # which need checkpoints this container does not have) ---
+    s2 = stub("sam2")
+    s2.build_sam = stub("sam2.build_sam", build_sam2_video_predictor=None)
+    tp = stub("third_party", load_RAFT=None)
+    tp.raft = stub("third_party.raft", load_RAFT=None)
 
 
 def reference_available() -> bool:
@@ -22,6 +129,9 @@ def reference_available() -> bool:
 
 
 def _purge_reference_modules():
+    for name in _STUB_NAMES:
+        sys.modules.pop(name, None)
+    _STUB_NAMES.clear()
     for name in list(sys.modules):
         mod = sys.modules.get(name)
         path = getattr(mod, "__file__", None) or ""
