@@ -69,36 +69,48 @@ TINY_TEST = Align3RConfig(
 
 
 def parse_model_string(s: str) -> Align3RConfig:
-    """Parse a reference `AsymmetricCroCo3DStereo(...)` constructor string."""
-    def grab(name, default):
-        m = re.search(rf"{name}\s*=\s*([^,)]+(?:\([^)]*\))?)", s)
-        if not m:
-            return default
-        val = m.group(1).strip()
-        try:
-            return eval(val, {"inf": INF}, {})  # literal-ish values only
-        except Exception:
-            return val.strip("'\"")
-    img_size = grab("img_size", (512, 512))
+    """Parse a reference `AsymmetricCroCo3DStereo(...)` constructor string.
+
+    The string is evaluated with the constructor replaced by a
+    kwargs-capturing stub (the reference itself eval()s it against the real
+    class, dust3r/model.py:39); only literals/tuples/`inf` are in scope.
+    A regex cannot do this: tuple values like `img_size=(512, 288)` or
+    `depth_mode=('exp', -inf, inf)` contain commas (a latent bug the
+    golden-parity self-check caught — the old regex silently mangled both).
+    """
+    m = re.match(r"\s*(\w+)\s*\(", s)
+    if not m:
+        raise ValueError(f"not a constructor string: {s[:80]!r}")
+    captured = {}
+
+    def ctor(*args, **kw):
+        if args:
+            raise ValueError(f"unexpected positional args in model string: {args}")
+        captured.update(kw)
+
+    eval(s, {"__builtins__": {}, m.group(1): ctor, "inf": INF}, {})
+
+    img_size = captured.get("img_size", (512, 512))
     if isinstance(img_size, int):
         img_size = (img_size, img_size)
-    pos_embed = grab("pos_embed", "RoPE100")
-    rope_base = float(pos_embed[len("RoPE"):]) if str(pos_embed).startswith("RoPE") else 100.0
+    pos_embed = str(captured.get("pos_embed", "RoPE100"))
+    rope_base = (float(pos_embed[len("RoPE"):])
+                 if pos_embed.startswith("RoPE") else 100.0)
     return Align3RConfig(
         img_size=tuple(img_size),
-        patch_size=grab("patch_size", 16),
-        enc_embed_dim=grab("enc_embed_dim", 1024),
-        enc_depth=grab("enc_depth", 24),
-        enc_num_heads=grab("enc_num_heads", 16),
-        dec_embed_dim=grab("dec_embed_dim", 768),
-        dec_depth=grab("dec_depth", 12),
-        dec_num_heads=grab("dec_num_heads", 12),
-        mlp_ratio=grab("mlp_ratio", 4.0),
+        patch_size=captured.get("patch_size", 16),
+        enc_embed_dim=captured.get("enc_embed_dim", 1024),
+        enc_depth=captured.get("enc_depth", 24),
+        enc_num_heads=captured.get("enc_num_heads", 16),
+        dec_embed_dim=captured.get("dec_embed_dim", 768),
+        dec_depth=captured.get("dec_depth", 12),
+        dec_num_heads=captured.get("dec_num_heads", 12),
+        mlp_ratio=captured.get("mlp_ratio", 4.0),
         rope_base=rope_base,
-        pos_embed=str(pos_embed),
-        head_type=grab("head_type", "dpt"),
-        output_mode=grab("output_mode", "pts3d"),
-        depth_mode=tuple(grab("depth_mode", ("exp", -INF, INF))),
-        conf_mode=tuple(grab("conf_mode", ("exp", 1.0, INF))),
-        landscape_only=bool(grab("landscape_only", True)),
+        pos_embed=pos_embed,
+        head_type=captured.get("head_type", "dpt"),
+        output_mode=captured.get("output_mode", "pts3d"),
+        depth_mode=tuple(captured.get("depth_mode", ("exp", -INF, INF))),
+        conf_mode=tuple(captured.get("conf_mode", ("exp", 1.0, INF))),
+        landscape_only=bool(captured.get("landscape_only", True)),
     )

@@ -106,3 +106,11 @@ def test_parse_model_string():
     assert cfg.head_type == "dpt"
     assert cfg.n_pc_blocks == 4 and cfg.n_zero_convs == 5
     assert cfg.dpt_hooks() == [0, 6, 9, 12]
+    # tuple-valued fields (commas inside parens broke the old regex parser)
+    assert cfg.img_size == (512, 512)
+    assert cfg.depth_mode == ("exp", -np.inf, np.inf)
+    assert cfg.conf_mode == ("exp", 1, np.inf)
+    assert cfg.landscape_only is False
+    cfg2 = parse_model_string(s.replace("img_size=(512, 512)",
+                                        "img_size=(512, 288)"))
+    assert cfg2.img_size == (512, 288)
