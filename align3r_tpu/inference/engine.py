@@ -36,7 +36,7 @@ from align3r_tpu.models.rope import make_grid_positions
 def _decode_batch(params, feat1, feat2, pc1, pc2, cfg: Align3RConfig,
                   img_hw: Tuple[int, int], dtype=jnp.bfloat16,
                   head_dtype=jnp.float32, attn_impl: str = "auto",
-                  stacked_heads: bool = False):
+                  stacked_heads: bool = False, head_conv_impl: str = "xla"):
     """Decoder + heads for a batch of pairs with precomputed features.
     head_dtype=jnp.bfloat16 opts the DPT conv pyramid into bf16 (fp32 is
     the reference AMP behaviour and the default); attn_impl="fused" routes
@@ -56,28 +56,34 @@ def _decode_batch(params, feat1, feat2, pc1, pc2, cfg: Align3RConfig,
                                        cfg.depth_mode, cfg.conf_mode,
                                        dtype=head_dtype)
     res1 = apply_dpt_head(params["head1"], hooks1, grid, (H, W),
-                          cfg.depth_mode, cfg.conf_mode, dtype=head_dtype)
+                          cfg.depth_mode, cfg.conf_mode, dtype=head_dtype,
+                          conv_impl=head_conv_impl)
     res2 = apply_dpt_head(params["head2"], hooks2, grid, (H, W),
-                          cfg.depth_mode, cfg.conf_mode, dtype=head_dtype)
+                          cfg.depth_mode, cfg.conf_mode, dtype=head_dtype,
+                          conv_impl=head_conv_impl)
     return res1, res2
 
 
 @functools.partial(jax.jit,
                    static_argnames=("cfg", "img_hw", "dtype", "head_dtype",
-                                    "attn_impl", "stacked_heads"))
+                                    "attn_impl", "stacked_heads",
+                                    "head_conv_impl"))
 def _decode_batch_jit(params, feat1, feat2, pc1, pc2, cfg, img_hw,
                       dtype=jnp.bfloat16, head_dtype=jnp.float32,
-                      attn_impl: str = "auto", stacked_heads: bool = False):
+                      attn_impl: str = "auto", stacked_heads: bool = False,
+                      head_conv_impl: str = "xla"):
     return _decode_batch(params, feat1, feat2, pc1, pc2, cfg, img_hw, dtype,
-                         head_dtype, attn_impl, stacked_heads)
+                         head_dtype, attn_impl, stacked_heads, head_conv_impl)
 
 
 @functools.partial(jax.jit,
                    static_argnames=("cfg", "img_hw", "dtype", "head_dtype",
-                                    "attn_impl", "stacked_heads"))
+                                    "attn_impl", "stacked_heads",
+                                    "head_conv_impl"))
 def _decode_all_jit(params, feats, pc_tok, bi, bj, cfg, img_hw,
                     dtype=jnp.bfloat16, head_dtype=jnp.float32,
-                    attn_impl: str = "auto", stacked_heads: bool = False):
+                    attn_impl: str = "auto", stacked_heads: bool = False,
+                    head_conv_impl: str = "xla"):
     """Whole decode phase as ONE dispatch: lax.scan over padded pair
     batches (bi/bj: (n_batches, batch) image indices). A per-batch host
     loop costs ~11 dispatches per batch, and when the TPU tunnel enters a
@@ -91,7 +97,7 @@ def _decode_all_jit(params, feats, pc_tok, bi, bj, cfg, img_hw,
                                jnp.take(pc_tok, i, axis=0),
                                jnp.take(pc_tok, j, axis=0),
                                cfg, img_hw, dtype, head_dtype, attn_impl,
-                               stacked_heads)
+                               stacked_heads, head_conv_impl)
         return None, (r1, r2)
 
     _, (outs1, outs2) = jax.lax.scan(body, None, (bi, bj))
@@ -113,7 +119,8 @@ def inference(pairs: Sequence[Tuple[int, int]], params, cfg: Align3RConfig,
               batch_size: int = 16, dtype=jnp.bfloat16,
               encode_chunk: int = 16, head_dtype=jnp.bfloat16,
               attn_impl: str | None = None, stacked_heads: bool = False,
-              encode_attn_impl: str | None = None) -> Dict:
+              encode_attn_impl: str | None = None,
+              head_conv_impl: str = "xla") -> Dict:
     """Run the two-view network over a frame graph.
 
     pairs: list of (i, j) index edges; imgs: (n, H, W, 3) normalised,
@@ -191,7 +198,7 @@ def inference(pairs: Sequence[Tuple[int, int]], params, cfg: Align3RConfig,
                                  jnp.asarray(bi[s:s + SCAN_NB]),
                                  jnp.asarray(bj[s:s + SCAN_NB]),
                                  cfg, (H, W), dtype, head_dtype, attn_impl,
-                                 stacked_heads)
+                                 stacked_heads, head_conv_impl)
         outs1.append(r1)
         outs2.append(r2)
     for s in range(n_full, n_batches):
@@ -202,7 +209,7 @@ def inference(pairs: Sequence[Tuple[int, int]], params, cfg: Align3RConfig,
                                    jnp.take(pc_tok, i, axis=0),
                                    jnp.take(pc_tok, j, axis=0),
                                    cfg, (H, W), dtype, head_dtype, attn_impl,
-                                   stacked_heads)
+                                   stacked_heads, head_conv_impl)
         outs1.append(r1)
         outs2.append(r2)
     cat = lambda outs: jax.tree.map(lambda *xs: jnp.concatenate(xs, axis=0)[:E],

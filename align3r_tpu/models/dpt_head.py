@@ -72,10 +72,17 @@ def _residual_conv_unit(p, x):
     return out + x
 
 
-def _fusion(p, x, skip=None, resize=nn.bilinear_resize):
-    if skip is not None:
-        x = x + _residual_conv_unit(p["res1"], skip)
-    x = _residual_conv_unit(p["res2"], x)
+def _fusion(p, x, skip=None, resize=nn.bilinear_resize, conv_impl="xla"):
+    if conv_impl == "pipeline":
+        from align3r_tpu.ops.dpt_pipeline import fused_fusion_pre, supported
+        if supported(x) and (skip is None or supported(skip)):
+            x = fused_fusion_pre(x, p, skip=skip)
+        else:
+            conv_impl = "xla"
+    if conv_impl == "xla":
+        if skip is not None:
+            x = x + _residual_conv_unit(p["res1"], skip)
+        x = _residual_conv_unit(p["res2"], x)
     B, H, W, C = x.shape
     x = resize(x, H * 2, W * 2, align_corners=True)
     return nn.conv2d(p["out_conv"], x)
@@ -83,13 +90,16 @@ def _fusion(p, x, skip=None, resize=nn.bilinear_resize):
 
 def apply_dpt_head(p, hook_tokens: List[jnp.ndarray], grid_hw, img_hw,
                    depth_mode=None, conf_mode=None, dtype=jnp.float32,
-                   resize_impl: str = "auto"):
+                   resize_impl: str = "auto", conv_impl: str = "xla"):
     """hook_tokens: 4 arrays (B, N, C_hook) at hooks [0, 2l/4, 3l/4, l];
     grid_hw: (nh, nw) patch grid; img_hw: (H, W) output resolution.
     Runs in fp32 by default (reference forces heads out of autocast,
     dust3r/model.py:252-254); dtype=jnp.bfloat16 is the fast path — the
     conv pyramid runs bf16 (fp32 MXU accumulation either way) and the
     final regression conv + postprocess exponentials stay fp32.
+    conv_impl='pipeline' fuses each refinenet residual-unit chain into a
+    Pallas program (ops/dpt_pipeline.py; differentiable via XLA-recompute
+    VJP); 'xla' is the reference-structured graph.
     Returns dict(pts3d, conf).
     """
     nh, nw = grid_hw
@@ -116,10 +126,11 @@ def apply_dpt_head(p, hook_tokens: List[jnp.ndarray], grid_hw, img_hw,
     l3 = nn.conv2d(p["layer3_rn"], l3)
     l4 = nn.conv2d(p["layer4_rn"], l4)
 
-    path4 = _fusion(p["refinenet4"], l4, resize=resize)[:, :l3.shape[1], :l3.shape[2], :]
-    path3 = _fusion(p["refinenet3"], path4, l3, resize=resize)
-    path2 = _fusion(p["refinenet2"], path3, l2, resize=resize)
-    path1 = _fusion(p["refinenet1"], path2, l1, resize=resize)
+    fuse = functools.partial(_fusion, resize=resize, conv_impl=conv_impl)
+    path4 = fuse(p["refinenet4"], l4)[:, :l3.shape[1], :l3.shape[2], :]
+    path3 = fuse(p["refinenet3"], path4, l3)
+    path2 = fuse(p["refinenet2"], path3, l2)
+    path1 = fuse(p["refinenet1"], path2, l1)
 
     x = nn.conv2d(p["head_conv1"], path1)
     x = resize(x, x.shape[1] * 2, x.shape[2] * 2, align_corners=True)
