@@ -228,12 +228,104 @@ def _mlp_call(x, w1, b1, w2, b2, lnp, interpret: bool, ln: bool,
     )(x, w1, b1, w2, b2, lnp)
 
 
-def mlp_supported(x, hidden: int) -> bool:
-    """Whether the fused MLP site's working set fits VMEM: both weight
-    matrices stay resident plus the (N, F) hidden activations."""
+def _mlp_fblock_kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, ln_ref,
+                       o_ref, acc_ref, *, ln, residual, nf):
+    """F-blocked MLP site: grid (G, B, NF) with the hidden dim F split into
+    NF streamed blocks. The (N, C) fp32 accumulator and the row's tokens
+    stay VMEM-resident across the inner f loop (their block index is
+    constant), while Mosaic double-buffers the (C, FB)/(FB, C) weight
+    blocks — this is what lets the 16.8 MB ViT-L encoder MLP through the
+    VMEM gate. GELU is elementwise on the hidden activations, so blockwise
+    application is exact."""
+    f = pl.program_id(2)
+    raw = x_ref[0, 0]                               # (N, C)
+    x = _ln(raw, ln_ref[0, 0:1], ln_ref[0, 1:2]) if ln else raw
+
+    @pl.when(f == 0)
+    def _():
+        acc_ref[:] = jnp.broadcast_to(b2_ref[0].astype(jnp.float32),
+                                      acc_ref.shape)
+
+    h = jax.lax.dot_general(
+        x, w1_ref[0], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)         # (N, FB)
+    h = _gelu_exact(h + b1_ref[0]).astype(x.dtype)
+    acc_ref[:] += jax.lax.dot_general(
+        h, w2_ref[0], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)         # (N, C)
+
+    @pl.when(f == nf - 1)
+    def _():
+        y = acc_ref[:].astype(o_ref.dtype)
+        o_ref[0, 0] = raw + y if residual else y
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "ln", "residual",
+                                             "nf"))
+def _mlp_call_fblocked(x, w1, b1, w2, b2, lnp, interpret: bool, ln: bool,
+                       residual: bool, nf: int):
+    G, B, N, C = x.shape
+    F = w1.shape[-1]
+    FB = F // nf
+    gvec = lambda r, c: pl.BlockSpec((1, r, c), lambda g, b, f: (g, 0, 0),
+                                     memory_space=pltpu.VMEM)
+    kern = functools.partial(_mlp_fblock_kernel, ln=ln, residual=residual,
+                             nf=nf)
+    return pl.pallas_call(
+        kern,
+        grid=(G, B, nf),
+        in_specs=[
+            pl.BlockSpec((1, 1, N, C), lambda g, b, f: (g, b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, C, FB), lambda g, b, f: (g, 0, f),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, FB), lambda g, b, f: (g, 0, f),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, FB, C), lambda g, b, f: (g, f, 0),
+                         memory_space=pltpu.VMEM),
+            gvec(1, C), gvec(2, C),
+        ],
+        out_specs=pl.BlockSpec((1, 1, N, C), lambda g, b, f: (g, b, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((G, B, N, C), x.dtype),
+        scratch_shapes=[pltpu.VMEM((N, C), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary", "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=G * B * 4 * N * C * F,
+            bytes_accessed=x.size * 2 * 2 + (w1.size + w2.size) * 2,
+            transcendentals=G * B * N * F,
+        ),
+        interpret=interpret,
+    )(x, w1, b1, w2, b2, lnp)
+
+
+_MLP_VMEM_GATE = 30 * 1024 * 1024
+
+
+def _mlp_working_set(N: int, C: int, hidden: int, nf: int = 1) -> int:
+    fb = hidden // nf
+    return 2 * C * fb * 2 + N * fb * (2 + 4) + 4 * N * C * 2 + 4 * N * C
+
+
+def mlp_fblocks(x, hidden: int) -> int:
+    """Fewest F blocks (power-of-two split of `hidden`) whose working set
+    fits the VMEM gate; 0 if none does."""
     *_, N, C = x.shape
-    working = 2 * C * hidden * 2 + N * hidden * (2 + 4) + 4 * N * C * 2
-    return working < 30 * 1024 * 1024
+    nf = 1
+    while nf <= 16:
+        if hidden % nf == 0 and (hidden // nf) % 128 == 0 \
+                and _mlp_working_set(N, C, hidden, nf) < _MLP_VMEM_GATE:
+            return nf
+        nf *= 2
+    return 0
+
+
+def mlp_supported(x, hidden: int) -> bool:
+    """Whether a fused MLP site variant (whole or F-blocked) fits VMEM."""
+    return mlp_fblocks(x, hidden) > 0
 
 
 def mlp_site(x, w1, b1, w2, b2, ln=None, residual: bool = False,
@@ -247,12 +339,18 @@ def mlp_site(x, w1, b1, w2, b2, ln=None, residual: bool = False,
     if interpret is None:
         interpret = jax.default_backend() not in ("tpu", "axon")
     G, B, N, C = x.shape
+    F = w1.shape[-1]
     w1, w2 = w1.astype(x.dtype), w2.astype(x.dtype)
     lnp = (jnp.stack(ln, axis=1).astype(jnp.float32) if ln
            else jnp.zeros((G, 2, C), jnp.float32))
-    return _mlp_call(x, w1, b1.astype(jnp.float32)[:, None, :],
-                     w2, b2.astype(jnp.float32)[:, None, :], lnp,
-                     interpret, ln is not None, residual)
+    nf = mlp_fblocks(x, F)
+    if nf <= 1:
+        return _mlp_call(x, w1, b1.astype(jnp.float32)[:, None, :],
+                         w2, b2.astype(jnp.float32)[:, None, :], lnp,
+                         interpret, ln is not None, residual)
+    return _mlp_call_fblocked(x, w1, b1.astype(jnp.float32)[:, None, :],
+                              w2, b2.astype(jnp.float32)[:, None, :], lnp,
+                              interpret, ln is not None, residual, nf)
 
 
 # ------------------------------------------------- differentiable wrappers
@@ -400,10 +498,12 @@ def _mlp_xla(x, w1, b1, w2, b2, lnp, ln, residual):
 
 def _mlp_kernel_call(x, w1, b1, w2, b2, lnp, ln, residual):
     interpret = jax.default_backend() not in ("tpu", "axon")
-    return _mlp_call(x, w1.astype(x.dtype),
-                     b1.astype(jnp.float32)[:, None, :],
-                     w2.astype(x.dtype), b2.astype(jnp.float32)[:, None, :],
-                     lnp, interpret, ln, residual)
+    nf = mlp_fblocks(x, w1.shape[-1])
+    args = (x, w1.astype(x.dtype), b1.astype(jnp.float32)[:, None, :],
+            w2.astype(x.dtype), b2.astype(jnp.float32)[:, None, :], lnp)
+    if nf <= 1:
+        return _mlp_call(*args, interpret, ln, residual)
+    return _mlp_call_fblocked(*args, interpret, ln, residual, nf)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7))

@@ -157,3 +157,81 @@ def test_no_rope(setup):
     out = attention_site(x, x, wq, wk, wv, wo, bq, bk, bv, bo, pos, H,
                          rope_base=None)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+def test_mlp_fblocked_matches_whole():
+    """The F-blocked MLP site (streamed weight blocks + fp32 accumulator)
+    must match the whole-F kernel and the XLA twin exactly in fp32."""
+    from align3r_tpu.ops import fused_site as fs
+    key = jax.random.PRNGKey(9)
+    G, Bz, N, C, F = 2, 2, 32, 128, 512
+    x = jax.random.normal(key, (G, Bz, N, C))
+    w1 = jax.random.normal(jax.random.fold_in(key, 1), (G, C, F)) * 0.05
+    b1 = jax.random.normal(jax.random.fold_in(key, 2), (G, F)) * 0.1
+    w2 = jax.random.normal(jax.random.fold_in(key, 3), (G, F, C)) * 0.05
+    b2 = jax.random.normal(jax.random.fold_in(key, 4), (G, C)) * 0.1
+    ln = (jnp.ones((G, C)), jnp.zeros((G, C)))
+    lnp = jnp.stack(ln, axis=1).astype(jnp.float32)
+
+    whole = fs._mlp_call(x, w1, b1.astype(jnp.float32)[:, None, :], w2,
+                         b2.astype(jnp.float32)[:, None, :], lnp,
+                         True, True, True)
+    for nf in (2, 4):
+        blocked = fs._mlp_call_fblocked(
+            x, w1, b1.astype(jnp.float32)[:, None, :], w2,
+            b2.astype(jnp.float32)[:, None, :], lnp, True, True, True, nf)
+        np.testing.assert_allclose(np.asarray(blocked), np.asarray(whole),
+                                   atol=1e-5, rtol=1e-5)
+    xla = fs._mlp_xla(x, w1, b1, w2, b2, lnp, True, True)
+    np.testing.assert_allclose(np.asarray(whole), np.asarray(xla),
+                               atol=1e-4, rtol=1e-4)
+
+
+def test_mlp_fblocks_selection():
+    """ViT-L encoder shapes must now pass the gate via F-blocking."""
+    from align3r_tpu.ops.fused_site import mlp_fblocks, mlp_supported
+    x_enc = jnp.zeros((1, 1, 576, 1024), jnp.bfloat16)
+    assert mlp_supported(x_enc, 4096)
+    assert mlp_fblocks(x_enc, 4096) >= 2
+    x_dec = jnp.zeros((2, 8, 576, 768), jnp.bfloat16)
+    assert mlp_fblocks(x_dec, 3072) == 1  # decoder still whole-F
+
+
+def test_mlp_site_fblocked_via_public_api_and_grads():
+    """mlp_site routes through the blocked kernel when the gate demands it,
+    and mlp_site_diff gradients still match the XLA path."""
+    from align3r_tpu.ops import fused_site as fs
+    key = jax.random.PRNGKey(10)
+    G, Bz, N, C, F = 1, 1, 32, 128, 512
+    x = jax.random.normal(key, (G, Bz, N, C))
+    w1 = jax.random.normal(jax.random.fold_in(key, 1), (G, C, F)) * 0.05
+    b1 = jnp.zeros((G, F))
+    w2 = jax.random.normal(jax.random.fold_in(key, 3), (G, F, C)) * 0.05
+    b2 = jnp.zeros((G, C))
+    old_gate = fs._MLP_VMEM_GATE
+    fs._MLP_VMEM_GATE = fs._mlp_working_set(N, C, F, 1) - 1  # force nf>=2
+    try:
+        assert fs.mlp_fblocks(x, F) >= 2
+        got = fs.mlp_site(x, w1, b1, w2, b2, residual=True, interpret=True)
+        ref = fs._mlp_xla(x, w1, b1, w2, b2,
+                          jnp.zeros((G, 2, C), jnp.float32), False, True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=1e-4, rtol=1e-4)
+
+        def loss_f(w1, w2):
+            return jnp.sum(fs.mlp_site_diff(x, w1, b1, w2, b2,
+                                            residual=True) ** 2)
+
+        def loss_x(w1, w2):
+            return jnp.sum(fs._mlp_xla(x, w1, b1, w2, b2,
+                                       jnp.zeros((G, 2, C), jnp.float32),
+                                       False, True) ** 2)
+
+        g1f, g2f = jax.grad(loss_f, argnums=(0, 1))(w1, w2)
+        g1x, g2x = jax.grad(loss_x, argnums=(0, 1))(w1, w2)
+        np.testing.assert_allclose(np.asarray(g1f), np.asarray(g1x),
+                                   atol=1e-3, rtol=1e-3)
+        np.testing.assert_allclose(np.asarray(g2f), np.asarray(g2x),
+                                   atol=1e-3, rtol=1e-3)
+    finally:
+        fs._MLP_VMEM_GATE = old_gate
