@@ -132,6 +132,15 @@ def apply_dpt_head(p, hook_tokens: List[jnp.ndarray], grid_hw, img_hw,
     path2 = fuse(p["refinenet2"], path3, l2)
     path1 = fuse(p["refinenet1"], path2, l1)
 
+    if conv_impl == "pipeline":
+        from align3r_tpu.ops.dpt_pipeline import (fused_head_final,
+                                                  head_trio_supported)
+        if head_trio_supported(path1):
+            out = fused_head_final(path1, p["head_conv1"], p["head_conv2"],
+                                   p["head_conv3"])[:, :H, :W, :]
+            if depth_mode is None:
+                return out
+            return postprocess(out, depth_mode, conf_mode)
     x = nn.conv2d(p["head_conv1"], path1)
     x = resize(x, x.shape[1] * 2, x.shape[2] * 2, align_corners=True)
     x = jax.nn.relu(nn.conv2d(p["head_conv2"], x))

@@ -256,3 +256,183 @@ def fused_fusion_pre(x, refinenet, skip=None, *, interpret=None):
         x = fused_res_unit(skip, refinenet["res1"], base=x,
                            interpret=interpret)
     return fused_res_unit(x, refinenet["res2"], interpret=interpret)
+
+
+# ------------------------------------------------ fused final head trio
+#
+# The regression head's tail (dust3r/heads/dpt_head.py:34-66 'head'
+# Sequential): conv1 3x3 C1->C2 at (Hin, Win), bilinear 2x upsample
+# (align_corners=True), conv2 3x3 C2->C2 + ReLU at (2Hin, 2Win), conv3 1x1
+# C2->Cout in fp32. In XLA the full-res intermediates round-trip HBM
+# (~190 MB/img at 512x288); fused, each strip reads its conv1-input band
+# once and writes only the (TH, 2Win, Cout) fp32 output.
+#
+# The 2x align_corners resize is NOT phase-uniform (src = r*(H-1)/(2H-1)),
+# so it runs as the same constant interpolation matrices the XLA 'mxu'
+# resize uses (models/nn.py:_interp_matrix), separably:
+#   - column mix first: per conv1-output row, (2Win, Win) @ (Win, C2)
+#   - then row mix: a per-strip BAND of the (2Hin, Hin) matrix (bilinear =>
+#     each output row reads <=2 source rows, so a strip's rows live in a
+#     narrow [band_start, band_start+KH) window) contracted over KH.
+# Doing columns first lets the row mix emit the (rows, W, C) layout conv2
+# wants directly, with no in-kernel transposes.
+
+def _head_trio_kernel(Hin: int, Win: int, TH: int, KH: int,
+                      x_hbm, band_ref, ah_ref, aw_ref, w1_ref, b1_ref,
+                      w2_ref, b2_ref, w3_ref, b3_ref, out_ref,
+                      xs, h1w, h2, sem):
+    b = pl.program_id(0)
+    s = pl.program_id(1)
+    C1 = xs.shape[-1]
+    C2 = h2.shape[-1]
+    Wout = 2 * Win
+    R = TH + 2
+    f32 = jnp.float32
+
+    @pl.when((b == 0) & (s == 0))
+    def _zero_pads():
+        xs[:] = jnp.zeros_like(xs)
+        h2[:] = jnp.zeros_like(h2)
+
+    # conv1-input band: rows [band-1, band+KH+1) of the H-padded input
+    band = band_ref[s]
+    cp = pltpu.make_async_copy(
+        x_hbm.at[b, pl.ds(band, KH + 2), :, :],
+        xs.at[:, pl.ds(1, Win), :],
+        sem)
+    cp.start()
+    cp.wait()
+
+    # conv1 (no activation): (KH, Win, C2)
+    acc = jnp.zeros((KH, Win, C2), f32)
+    for dh in range(3):
+        for dw in range(3):
+            acc = acc + jax.lax.dot_general(
+                xs[dh:dh + KH, dw:dw + Win, :], w1_ref[dh * 3 + dw],
+                dimension_numbers=(((2,), (0,)), ((), ())),
+                preferred_element_type=f32)
+    h1 = (acc + b1_ref[:].astype(f32)).astype(xs.dtype)
+
+    # column mix: h1w[k] = Aw @ h1[k]  ((Wout, Win) @ (Win, C2))
+    for k in range(KH):
+        h1w[k] = jax.lax.dot_general(
+            aw_ref[:], h1[k], (((1,), (0,)), ((), ())),
+            preferred_element_type=f32).astype(h1w.dtype)
+
+    # row mix into conv2's padded buffer rows; its W pad columns stay zero
+    rm = jax.lax.dot_general(
+        ah_ref[0], h1w[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=f32)                  # (R, Wout, C2)
+    h2[:, 1:1 + Wout, :] = rm.astype(h2.dtype)
+
+    # conv2 + bias + relu (fp32), then the fp32 1x1 conv3
+    acc2 = jnp.zeros((TH, Wout, C2), f32)
+    for dh in range(3):
+        for dw in range(3):
+            acc2 = acc2 + jax.lax.dot_general(
+                h2[dh:dh + TH, dw:dw + Wout, :], w2_ref[dh * 3 + dw],
+                dimension_numbers=(((2,), (0,)), ((), ())),
+                preferred_element_type=f32)
+    a2 = jnp.maximum(acc2 + b2_ref[:].astype(f32), 0.0)
+    y = jax.lax.dot_general(a2, w3_ref[:].astype(f32),
+                            (((2,), (0,)), ((), ())),
+                            preferred_element_type=f32)
+    out_ref[0] = y + b3_ref[:].astype(f32)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _head_trio_call(x, bands, ah, aw, w1, b1, w2, b2, w3, b3, *,
+                    interpret=False):
+    B, Hin, Win, C1 = x.shape
+    C2 = w2.shape[-1]
+    Cout = w3.shape[-1]
+    Hout, Wout = 2 * Hin, 2 * Win
+    SH, R, KH = ah.shape
+    TH = R - 2
+    xp = jnp.pad(x, [(0, 0), (1, 1), (0, 0), (0, 0)])
+    kern = functools.partial(_head_trio_kernel, Hin, Win, TH, KH)
+    return pl.pallas_call(
+        kern,
+        grid=(B, SH),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),                    # x (HBM)
+            pl.BlockSpec(memory_space=pltpu.SMEM),                # bands
+            pl.BlockSpec((1, R, KH), lambda b, s: (s, 0, 0)),     # Ah band
+            pl.BlockSpec((Wout, Win), lambda b, s: (0, 0)),       # Aw
+            pl.BlockSpec((9, C1, C2), lambda b, s: (0, 0, 0)),
+            pl.BlockSpec((1, C2), lambda b, s: (0, 0)),
+            pl.BlockSpec((9, C2, C2), lambda b, s: (0, 0, 0)),
+            pl.BlockSpec((1, C2), lambda b, s: (0, 0)),
+            pl.BlockSpec((C2, Cout), lambda b, s: (0, 0)),
+            pl.BlockSpec((1, Cout), lambda b, s: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, TH, Wout, Cout),
+                               lambda b, s: (b, s, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((B, Hout, Wout, Cout), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((KH + 2, Win + 2, C1), x.dtype),
+            pltpu.VMEM((KH, Wout, C2), x.dtype),
+            pltpu.VMEM((TH + 2, Wout + 2, C2), x.dtype),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(xp, bands, ah, aw, w1, b1, w2, b2, w3, b3)
+
+
+def _head_trio_prep(Hin: int, TH: int):
+    """Per-strip row-mix bands of the (2Hin, Hin) align_corners matrix.
+    Returns (band_start (SH,) int32, Ah_bands (SH, TH+2, KH) f32, KH)."""
+    import numpy as np
+    from align3r_tpu.models.nn import _interp_matrix
+    Hout = 2 * Hin
+    assert Hout % TH == 0
+    SH = Hout // TH
+    A = _interp_matrix(Hin, Hout, True)              # (Hout, Hin)
+    span = int(np.ceil((TH + 1) * (Hin - 1) / max(Hout - 1, 1))) + 3
+    KH = min(Hin, -(-span // 8) * 8)
+    bands = np.zeros(SH, np.int32)
+    ah = np.zeros((SH, TH + 2, KH), np.float32)
+    for s in range(SH):
+        rows = np.arange(s * TH - 1, s * TH + TH + 1)
+        valid = (rows >= 0) & (rows < Hout)
+        nz = np.nonzero(A[rows[valid]])[1]
+        lo = int(nz.min()) if nz.size else 0
+        lo = min(max(lo, 0), Hin - KH)
+        bands[s] = lo
+        ah[s][valid] = A[rows[valid], lo:lo + KH]
+    return jnp.asarray(bands), jnp.asarray(ah), KH
+
+
+def head_trio_supported(x, TH: int = 16) -> bool:
+    B, Hin, Win, C1 = x.shape
+    return (C1 % 128 == 0 and Win % 8 == 0 and (2 * Hin) % TH == 0
+            and Hin >= 8)
+
+
+def fused_head_final(x, p1, p2, p3, TH: int = 16, interpret=None):
+    """Fused head tail: conv3x3(p1) -> 2x align_corners resize ->
+    relu(conv3x3(p2)) -> fp32 conv1x1(p3). x: (B, Hin, Win, C1); returns
+    (B, 2Hin, 2Win, Cout) fp32 (crop to the image size outside).
+    Matches apply_dpt_head's tail with resize_impl='mxu' numerics at the
+    storage dtype."""
+    if interpret is None:
+        interpret = jax.default_backend() not in ("tpu", "axon")
+    from align3r_tpu.models.nn import _interp_matrix
+    B, Hin, Win, C1 = x.shape
+    while (2 * Hin) % TH:
+        TH //= 2
+    bands, ah, KH = _head_trio_prep(Hin, TH)
+    aw = jnp.asarray(_interp_matrix(Win, 2 * Win, True)).astype(x.dtype)
+    tap = lambda p: p["kernel"].reshape(9, p["kernel"].shape[2],
+                                        p["kernel"].shape[3]).astype(x.dtype)
+    return _head_trio_call(
+        x, bands, ah, aw,
+        tap(p1), p1["bias"].reshape(1, -1).astype(jnp.float32),
+        tap(p2), p2["bias"].reshape(1, -1).astype(jnp.float32),
+        p3["kernel"].reshape(p3["kernel"].shape[2], -1).astype(jnp.float32),
+        p3["bias"].reshape(1, -1).astype(jnp.float32),
+        interpret=interpret)

@@ -142,3 +142,66 @@ def test_fusion_pre_matches_head_chain_bf16():
     ref_b = xla_chain(xb.astype(jnp.float32), sb.astype(jnp.float32))
     np.testing.assert_allclose(np.asarray(got, np.float32),
                                np.asarray(ref_b), atol=0.15, rtol=0.1)
+
+
+# ------------------------------------------------- fused final head trio
+
+def _conv_p(key, cin, cout, k=3, scale=0.15):
+    return {"kernel": jax.random.normal(key, (k, k, cin, cout))
+            * scale / np.sqrt(k * k * cin),
+            "bias": jax.random.normal(jax.random.fold_in(key, 3),
+                                      (cout,)) * 0.05}
+
+
+def _xla_tail(x, p1, p2, p3):
+    B, H, W, _ = x.shape
+    h = nn.conv2d(p1, x)
+    h = nn.bilinear_resize_mxu(h, H * 2, W * 2, align_corners=True)
+    h = jax.nn.relu(nn.conv2d(p2, h))
+    return nn.conv2d(p3, h.astype(jnp.float32))
+
+
+@pytest.mark.parametrize("B,H,W", [(1, 8, 16), (2, 12, 8)])
+def test_head_trio_matches_xla_fp32(B, H, W):
+    from align3r_tpu.ops.dpt_pipeline import fused_head_final
+    key = jax.random.PRNGKey(11)
+    C1, C2, CO = 128, 128, 4
+    p1 = _conv_p(jax.random.fold_in(key, 1), C1, C2)
+    p2 = _conv_p(jax.random.fold_in(key, 2), C2, C2)
+    p3 = _conv_p(jax.random.fold_in(key, 3), C2, CO, k=1)
+    x = jax.random.normal(jax.random.fold_in(key, 4), (B, H, W, C1)) * 0.5
+    ref = _xla_tail(x, p1, p2, p3)
+    got = fused_head_final(x, p1, p2, p3, TH=8, interpret=True)
+    assert got.shape == ref.shape and got.dtype == jnp.float32
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=2e-5, rtol=1e-4)
+
+
+def test_head_trio_bf16_storage():
+    from align3r_tpu.ops.dpt_pipeline import fused_head_final
+    key = jax.random.PRNGKey(12)
+    C1, C2, CO = 256, 128, 4
+    p1 = _conv_p(jax.random.fold_in(key, 1), C1, C2)
+    p2 = _conv_p(jax.random.fold_in(key, 2), C2, C2)
+    p3 = _conv_p(jax.random.fold_in(key, 3), C2, CO, k=1)
+    x = jax.random.normal(jax.random.fold_in(key, 4), (1, 16, 16, C1)) * 0.5
+    ref = _xla_tail(x.astype(jnp.bfloat16), p1, p2, p3)  # bf16 XLA tail
+    got = fused_head_final(x.astype(jnp.bfloat16), p1, p2, p3, TH=16,
+                           interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref, np.float32),
+                               atol=0.05, rtol=0.05)
+
+
+def test_head_trio_strip_count_and_bands():
+    """Band construction: several strip sizes over a non-tiny H."""
+    from align3r_tpu.ops.dpt_pipeline import _head_trio_prep
+    for Hin, TH in [(144, 16), (72, 16), (36, 8), (8, 4)]:
+        bands, ah, KH = _head_trio_prep(Hin, TH)
+        SH = 2 * Hin // TH
+        assert ah.shape == (SH, TH + 2, KH)
+        assert int(bands.max()) + KH <= Hin
+        # each in-range output row's interpolation weights must sum to 1
+        import numpy as np_
+        s_mid = SH // 2
+        w = np_.asarray(ah[s_mid]).sum(axis=1)
+        np_.testing.assert_allclose(w, 1.0, atol=1e-6)
