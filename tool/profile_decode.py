@@ -206,14 +206,17 @@ def main():
             [jax.random.normal(key, (PB, N, cfg.dec_embed_dim), jnp.float32)
              for _ in range(3)]
 
-        for hd, resize, label in ((jnp.float32, "gather", "fp32 gather"),
-                                  (jnp.float32, "mxu", "fp32 mxu   "),
-                                  (jnp.bfloat16, "gather", "bf16 gather"),
-                                  (jnp.bfloat16, "mxu", "bf16 mxu   ")):
-            def heads_v(hp, h0, rest, hd=hd, resize=resize):
+        for hd, resize, ci, label in (
+                (jnp.float32, "gather", "xla", "fp32 gather  "),
+                (jnp.float32, "mxu", "xla", "fp32 mxu     "),
+                (jnp.bfloat16, "gather", "xla", "bf16 gather  "),
+                (jnp.bfloat16, "mxu", "xla", "bf16 mxu     "),
+                (jnp.bfloat16, "mxu", "pipeline", "bf16 pipeline"),
+                (jnp.float32, "mxu", "pipeline", "fp32 pipeline")):
+            def heads_v(hp, h0, rest, hd=hd, resize=resize, ci=ci):
                 r = apply_dpt_head(hp, [h0] + rest, (gh, gw), (H, W),
                                    cfg.depth_mode, cfg.conf_mode, dtype=hd,
-                                   resize_impl=resize)
+                                   resize_impl=resize, conv_impl=ci)
                 return jnp.sum(r["pts3d"])
 
             dt = timed_calls(heads_v, params["head1"], hooks[0], hooks[1:],

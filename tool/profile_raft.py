@@ -1,0 +1,135 @@
+"""Per-stage RAFT cost profile on the real TPU (VERDICT r2 next #6).
+
+Breaks the SEA-RAFT solve (bench's raft_flow_ms_per_img path,
+models/raft.py) into its stages and times each pipelined, plus a
+speed-of-light statement per stage:
+
+  - fnet/cnet encoders (resnet_fpn)          — conv FLOP bound
+  - corr pyramid build (one big matmul)      — MXU bound
+  - corr lookup x iters (one-hot separable)  — MXU bound
+  - update block (GRU/ConvNeXt) x iters      — conv FLOP bound
+  - full solve                               — everything + scan overhead
+
+Reference stage structure: third_party/RAFT/core/raft.py:207-291,
+corr.py:63-111, update.py.
+
+Usage: python tool/profile_raft.py [--size 512 288] [--iters 20] [--reps 10]
+"""
+import argparse
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def timed_calls(fn, *args, reps=10):
+    """Pipelined wall time: dispatch reps, one final host sync (the axon
+    tunnel adds ~30 ms to any per-call sync — see CLAUDE.md)."""
+    import jax.numpy as jnp
+    out = fn(*args)
+    np.asarray(jnp.sum(out if not isinstance(out, tuple) else out[0]))
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        out = fn(*args)
+    np.asarray(jnp.sum(out if not isinstance(out, tuple) else out[0]))
+    return (time.perf_counter() - t0) / reps
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--size", type=int, nargs=2, default=(288, 512),
+                    metavar=("H", "W"))
+    ap.add_argument("--iters", type=int, default=20)
+    ap.add_argument("--reps", type=int, default=10)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    from align3r_tpu.models.raft import (init_raft, raft_forward, SPRING_M,
+                                         resnet_fpn, build_corr_pyramid,
+                                         lookup_corr, update_block,
+                                         flow_head, conv, _coords_grid,
+                                         pad_to_8)
+
+    H, W = args.size
+    cfg = SPRING_M
+    key = jax.random.PRNGKey(0)
+    params = init_raft(key, cfg)
+    img1 = jax.random.uniform(key, (1, H, W, 3)) * 255
+    img2 = jax.random.uniform(jax.random.fold_in(key, 1), (1, H, W, 3)) * 255
+    img1p, _ = pad_to_8(2 * (img1 / 255.0) - 1)
+    img2p, _ = pad_to_8(2 * (img2 / 255.0) - 1)
+    B, Hp, Wp, _ = img1p.shape
+    h, w = Hp // 8, Wp // 8
+
+    print(f"SEA-RAFT {cfg.__class__.__name__} {H}x{W} iters={args.iters} "
+          f"(grid {h}x{w})")
+
+    # ---- encoders
+    fnet = jax.jit(lambda x: resnet_fpn(params["fnet"], x, cfg))
+    cnet = jax.jit(lambda x: resnet_fpn(
+        params["cnet"], jnp.concatenate([x, x], -1), cfg))
+    dt_f = timed_calls(fnet, img1p, reps=args.reps)
+    dt_c = timed_calls(cnet, img1p, reps=args.reps)
+    print(f"fnet (x2 per pair)   {dt_f*1e3:8.3f} ms")
+    print(f"cnet                 {dt_c*1e3:8.3f} ms")
+
+    fmap1 = fnet(img1p)
+    fmap2 = fnet(img2p)
+
+    # ---- corr pyramid build
+    pyr_fn = jax.jit(lambda a, b: build_corr_pyramid(a, b, cfg)[0])
+    dt_p = timed_calls(pyr_fn, fmap1, fmap2, reps=args.reps)
+    n = h * w
+    flops_p = 2 * n * n * fmap1.shape[-1]
+    print(f"corr pyramid         {dt_p*1e3:8.3f} ms  "
+          f"({flops_p/dt_p/1e12:5.1f} TF/s)")
+
+    pyramid = build_corr_pyramid(fmap1, fmap2, cfg)
+    grid = _coords_grid(B, h, w)
+    coords = grid + jax.random.normal(key, grid.shape) * 2
+
+    # ---- corr lookup (scanned x iters, isolated)
+    def lookups(coords):
+        def body(c, _):
+            corr = lookup_corr(pyramid, c, cfg)
+            return c + 1e-3, jnp.sum(corr)
+        c, s = jax.lax.scan(body, coords, None, length=args.iters)
+        return s.sum()
+    dt_l = timed_calls(jax.jit(lookups), coords, reps=args.reps)
+    print(f"corr lookup x{args.iters:2d}     {dt_l*1e3:8.3f} ms  "
+          f"({dt_l/args.iters*1e3:6.3f} ms/iter)")
+
+    # ---- update block (scanned x iters, isolated)
+    cn = cnet(img1p)
+    cn = conv(params["init_conv"], cn)
+    net0, context = jnp.split(cn, 2, axis=-1)
+    corr0 = lookup_corr(pyramid, coords, cfg)
+
+    def updates(net):
+        def body(nt, _):
+            nt2 = update_block(params["update_block"], nt, context, corr0,
+                               jnp.zeros_like(coords), cfg)
+            fu = flow_head(params["flow_head"], nt2)
+            return nt2, jnp.sum(fu)
+        nt, s = jax.lax.scan(body, net, None, length=args.iters)
+        return s.sum()
+    dt_u = timed_calls(jax.jit(updates), net0, reps=args.reps)
+    print(f"update block x{args.iters:2d}    {dt_u*1e3:8.3f} ms  "
+          f"({dt_u/args.iters*1e3:6.3f} ms/iter)")
+
+    # ---- full solve
+    full = jax.jit(lambda a, b: raft_forward(params, a, b, cfg,
+                                             iters=args.iters))
+    dt_full = timed_calls(full, img1, img2, reps=args.reps)
+    print(f"full solve           {dt_full*1e3:8.3f} ms")
+    acc = 2 * dt_f + dt_c + dt_p + dt_l + dt_u
+    print(f"stage sum            {acc*1e3:8.3f} ms "
+          f"(residual {max(dt_full-acc,0)*1e3:.3f} ms = upsample + scan glue)")
+
+
+if __name__ == "__main__":
+    main()
