@@ -45,25 +45,28 @@ def main():
 
     if args.quick:
         grid = [
-            (8, "auto", jnp.bfloat16, False),
-            (8, "fused", jnp.bfloat16, False),
-            (8, "fused", jnp.bfloat16, True),
-            (16, "fused", jnp.bfloat16, False),
+            (8, "fused", jnp.bfloat16, False, "xla"),
+            (16, "fused", jnp.bfloat16, False, "xla"),
+            (16, "fused", jnp.bfloat16, False, "pipeline"),
+            (8, "fused", jnp.bfloat16, False, "pipeline"),
         ]
     else:
         grid = list(itertools.product(
             (8, 16), ("auto", "fused"), (jnp.bfloat16, jnp.float32),
-            (False, True)))
+            (False,), ("xla", "pipeline"))) + [
+            (8, "fused", jnp.bfloat16, True, "xla"),
+            (16, "fused", jnp.bfloat16, True, "xla")]
 
     results = []
-    for bs, attn, hd, sh in grid:
+    for bs, attn, hd, sh, hci in grid:
         label = (f"bs={bs:2d} attn={attn:5s} heads="
-                 f"{np.dtype(hd).name:8s} stacked={int(sh)}")
+                 f"{np.dtype(hd).name:8s} stacked={int(sh)} conv={hci}")
         try:
             def run():
                 out = inference(pairs, params, cfg, imgs, priors,
                                 batch_size=bs, head_dtype=hd,
-                                attn_impl=attn, stacked_heads=sh)
+                                attn_impl=attn, stacked_heads=sh,
+                                head_conv_impl=hci)
                 np.asarray(jnp.sum(out["pred1"]["pts3d"])
                            + jnp.sum(out["pred2"]["conf"]))
 
