@@ -196,3 +196,26 @@ def test_bf16_head_option_close_to_fp32():
     rel = np.abs(a - b) / (np.abs(a) + 1e-3)
     assert np.median(rel) < 0.02
     assert np.isfinite(b).all()
+
+
+def test_engine_pipeline_heads_match_xla():
+    """head_conv_impl='pipeline' (fused Pallas DPT residual units + final
+    trio, ops/dpt_pipeline.py) must match the XLA head through the full
+    engine path (interpret mode on CPU)."""
+    cfg = TINY_TEST
+    params = init_align3r(jax.random.PRNGKey(0), cfg)
+    n, H, W = 3, 32, 48
+    imgs = jax.random.normal(jax.random.PRNGKey(7), (n, H, W, 3)) * 0.3
+    priors = jax.random.uniform(jax.random.PRNGKey(8), (n, H, W, 3))
+    pairs = [(0, 1), (1, 2)]
+    a = inference(pairs, params, cfg, imgs, priors, batch_size=2,
+                  dtype=jnp.float32, head_dtype=jnp.float32)
+    b = inference(pairs, params, cfg, imgs, priors, batch_size=2,
+                  dtype=jnp.float32, head_dtype=jnp.float32,
+                  head_conv_impl="pipeline")
+    np.testing.assert_allclose(np.asarray(a["pred1"]["pts3d"]),
+                               np.asarray(b["pred1"]["pts3d"]),
+                               atol=1e-4, rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(a["pred2"]["conf"]),
+                               np.asarray(b["pred2"]["conf"]),
+                               atol=1e-4, rtol=1e-3)
