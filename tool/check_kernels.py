@@ -1,0 +1,105 @@
+"""Fast Mosaic lowering + numerics check for the round-3 Pallas kernels at
+real ViT-L head shapes. Run FIRST in a healthy-TPU window: interpret-mode
+tests can't catch Mosaic-specific lowering failures (jnp.pad, scratch
+aliasing, DMA patterns), and a failure here should surface in seconds, not
+mid-benchmark.
+
+Usage: python tool/check_kernels.py [--cpu]
+"""
+import argparse
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cpu", action="store_true")
+    args = ap.parse_args()
+
+    import jax
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+
+    from align3r_tpu.models.dpt_head import _residual_conv_unit
+    from align3r_tpu.ops.dpt_pipeline import fused_res_unit, fused_head_final
+    from align3r_tpu.ops import fused_site as fs
+
+    key = jax.random.PRNGKey(0)
+    ok = True
+
+    def check(name, got, ref, tol):
+        nonlocal ok
+        d = float(np.abs(np.asarray(got, np.float32)
+                         - np.asarray(ref, np.float32)).max())
+        good = d < tol
+        ok &= good
+        print(f"{name:34s} maxdiff {d:.3e}  {'OK' if good else 'FAIL'}")
+
+    # 1) res unit at the refinenet1 shape (72, 128, 256) bf16
+    u = {"conv1": {"kernel": jax.random.normal(key, (3, 3, 256, 256)) * 0.01,
+                   "bias": jax.random.normal(key, (256,)) * 0.05},
+         "conv2": {"kernel": jax.random.normal(jax.random.fold_in(key, 1),
+                                               (3, 3, 256, 256)) * 0.01,
+                   "bias": jax.random.normal(key, (256,)) * 0.05}}
+    x = (jax.random.normal(jax.random.fold_in(key, 2), (2, 72, 128, 256))
+         * 0.5).astype(jnp.bfloat16)
+    t0 = time.perf_counter()
+    got = fused_res_unit(x, u)
+    np.asarray(jnp.sum(got.astype(jnp.float32)))
+    print(f"res_unit (2,72,128,256) bf16 compiled+ran in "
+          f"{time.perf_counter()-t0:.1f}s")
+    ref = _residual_conv_unit(u, x)
+    check("res_unit vs XLA (bf16)", got, ref, 0.25)
+
+    # 2) final head trio at (144, 256, 256) -> (288, 512, 4)
+    mk = lambda k, ci, co, ksz: {
+        "kernel": jax.random.normal(k, (ksz, ksz, ci, co)) * 0.02,
+        "bias": jax.random.normal(jax.random.fold_in(k, 9), (co,)) * 0.05}
+    p1 = mk(jax.random.fold_in(key, 3), 256, 128, 3)
+    p2 = mk(jax.random.fold_in(key, 4), 128, 128, 3)
+    p3 = mk(jax.random.fold_in(key, 5), 128, 4, 1)
+    xt = (jax.random.normal(jax.random.fold_in(key, 6), (2, 144, 256, 256))
+          * 0.5).astype(jnp.bfloat16)
+    t0 = time.perf_counter()
+    got = fused_head_final(xt, p1, p2, p3)
+    np.asarray(jnp.sum(got))
+    print(f"head_trio (2,144,256,256) bf16 compiled+ran in "
+          f"{time.perf_counter()-t0:.1f}s")
+    from align3r_tpu.models import nn
+    h = nn.conv2d(p1, xt)
+    h = nn.bilinear_resize_mxu(h, 288, 512, align_corners=True)
+    h = jax.nn.relu(nn.conv2d(p2, h))
+    ref = nn.conv2d(p3, h.astype(jnp.float32))
+    check("head_trio vs XLA (bf16)", got, ref, 0.25)
+
+    # 3) F-blocked MLP site at ViT-L encoder shape (C=1024, F=4096, N=576)
+    G, B, N, C, F = 1, 2, 576, 1024, 4096
+    xm = (jax.random.normal(jax.random.fold_in(key, 7), (G, B, N, C))
+          * 0.3).astype(jnp.bfloat16)
+    w1 = jax.random.normal(jax.random.fold_in(key, 8), (G, C, F)) * 0.01
+    b1 = jax.random.normal(jax.random.fold_in(key, 10), (G, F)) * 0.02
+    w2 = jax.random.normal(jax.random.fold_in(key, 11), (G, F, C)) * 0.01
+    b2 = jax.random.normal(jax.random.fold_in(key, 12), (G, C)) * 0.02
+    nf = fs.mlp_fblocks(xm, F)
+    print(f"encoder MLP gate: nf={nf} (0 = rejected)")
+    t0 = time.perf_counter()
+    got = fs.mlp_site(xm, w1, b1, w2, b2, residual=True)
+    np.asarray(jnp.sum(got.astype(jnp.float32)))
+    print(f"mlp_site F-blocked (nf={nf}) compiled+ran in "
+          f"{time.perf_counter()-t0:.1f}s")
+    lnp = jnp.zeros((G, 2, C), jnp.float32)
+    ref = fs._mlp_xla(xm, w1, b1, w2, b2, lnp, False, True)
+    check("mlp_site fblocked vs XLA (bf16)", got, ref, 0.5)
+
+    print("ALL OK" if ok else "FAILURES PRESENT")
+    sys.exit(0 if ok else 1)
+
+
+if __name__ == "__main__":
+    main()
