@@ -9,7 +9,7 @@ timeout 90 python -c "import jax, jax.numpy as jnp, numpy as np; print(float(np.
   || { echo "TUNNEL WEDGED"; exit 1; }
 
 # 0) fast Mosaic lowering check
-timeout 900 python -u tool/check_kernels.py 2># 1) DPT head A/B1 | tee /tmp/r3_kernels.txt || exit 1
+timeout 900 python -u tool/check_kernels.py 2>&1 | tee /tmp/r3_kernels.txt || exit 1
 
 # 1) DPT head A/B (xla vs pipeline, both dtypes)
 timeout 1800 python -u tool/profile_decode.py --which heads --reps 20 \
