@@ -191,6 +191,10 @@ def main():
     if "decode" in which or "all" in which:
         for label, kw in [("stacked u1 ", dict(stacked=True)),
                           ("fused sites", dict(stacked=True, attn_impl="fused")),
+                          ("fused u2   ", dict(stacked=True, attn_impl="fused",
+                                               unroll=2)),
+                          ("fused u3   ", dict(stacked=True, attn_impl="fused",
+                                               unroll=3)),
                           ("separate   ", dict(stacked=False))]:
             def dec_only(params, feat, pcts, kw=kw):
                 h1, h2 = decode_pair(params, feat, pos, feat, pos, pcts, pc_pos,
