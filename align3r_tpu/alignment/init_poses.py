@@ -89,6 +89,51 @@ def fast_pnp(pts3d: np.ndarray, focal: Optional[float], msk: np.ndarray,
     return f, np.linalg.inv(w2c)
 
 
+def edge_score_matrix(data: SceneData, cfg: SceneConfig, conf_i, conf_j):
+    """(n, n) matrix of edge scores mean(conf_i)*mean(conf_j), NaN off-graph
+    (reference cloud_opt_flow/init_im_poses.py:20-33 / commons.py:21-31)."""
+    E = data.ei.shape[0]
+    ci = np.asarray(conf_i).reshape(E, -1)
+    cj = np.asarray(conf_j).reshape(E, -1)
+    scores = ci.mean(1) * cj.mean(1)
+    m = np.full((cfg.n_imgs, cfg.n_imgs), np.nan)
+    for k, (i, j) in enumerate(zip(np.asarray(data.ei), np.asarray(data.ej))):
+        m[int(i), int(j)] = float(scores[k])
+    return m
+
+
+def save_edge_score_heatmap(path: str, data: SceneData, cfg: SceneConfig,
+                            conf_i, conf_j):
+    """Edge-score heatmap artifact (reference save_score_path,
+    cloud_opt_flow/init_im_poses.py:23-42; matplotlib instead of seaborn).
+    Also writes the raw matrix next to it as <path>.npy."""
+    m = edge_score_matrix(data, cfg, conf_i, conf_j)
+    np.save(str(path) + ".npy", m)
+    try:
+        import matplotlib
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+        n = cfg.n_imgs
+        size = max(4.0, 5.5 * np.log(max(n, 2)) - 2)
+        fig, ax = plt.subplots(figsize=(size, size * 0.75))
+        im = ax.imshow(m, cmap="viridis")
+        fig.colorbar(im, ax=ax)
+        if n <= 30:
+            for i in range(n):
+                for j in range(n):
+                    if np.isfinite(m[i, j]):
+                        ax.text(j, i, f"{m[i, j]:.1f}", ha="center",
+                                va="center", fontsize=7, color="w")
+        ax.set_title("Heatmap of Edge Scores")
+        ax.set_xlabel("Node")
+        ax.set_ylabel("Node")
+        fig.savefig(path, bbox_inches="tight")
+        plt.close(fig)
+    except Exception:  # matplotlib headless quirks must not kill the solve
+        pass
+    return m
+
+
 def mst_init(params: Dict, data: SceneData, cfg: SceneConfig,
              conf_i: np.ndarray, conf_j: np.ndarray,
              init_priors=None, niter_PnP: int = 10,

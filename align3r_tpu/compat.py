@@ -166,11 +166,22 @@ class _SceneWrapper:
             self.params, self._get_masks(), self._msk_indices(msk, len(d)), d)
 
     def compute_global_alignment(self, init=None, niter=300, schedule="cosine",
-                                 lr=0.01, init_priors=None, **kw):
+                                 lr=0.01, init_priors=None,
+                                 save_score_path=None, save_score_only=False,
+                                 **kw):
         from align3r_tpu.alignment.scene import (global_alignment_loop,
                                                  pairwise_pts_loss)
         from align3r_tpu.alignment.flow import flow_forward
-        from align3r_tpu.alignment.init_poses import mst_init
+        from align3r_tpu.alignment.init_poses import (mst_init,
+                                                      save_edge_score_heatmap)
+        if save_score_path is not None:
+            # reference cloud_opt_flow/base_opt.py:460-466: dump the MST
+            # edge-score heatmap; save_score_only skips the whole solve
+            save_edge_score_heatmap(save_score_path, self.data, self.cfg,
+                                    np.asarray(self._output["pred1"]["conf"]),
+                                    np.asarray(self._output["pred2"]["conf"]))
+            if save_score_only:
+                return None
         if init in ("mst", "msp"):
             self.params = mst_init(self.params, self.data, self.cfg,
                                    np.asarray(self._output["pred1"]["conf"]),

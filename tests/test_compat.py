@@ -83,3 +83,37 @@ def test_preset_known_poses_frozen(model):
     np.testing.assert_allclose(scene.get_focals()[0], 40.0, rtol=1e-5)
     # unfrozen frame 2 moved away from identity
     assert np.abs(poses[2] - np.eye(4)).max() > 1e-4
+
+
+def test_save_score_heatmap(tmp_path):
+    """save_score_path writes the MST edge-score heatmap + raw matrix
+    (reference cloud_opt_flow/base_opt.py:460-466, init_im_poses.py:23-42);
+    save_score_only skips the solve."""
+    rng = np.random.default_rng(3)
+    n, H, W = 3, 16, 24
+    pairs = [(i, j) for i in range(n) for j in range(n) if i != j]
+    E = len(pairs)
+    out = {
+        "view1": {"idx": np.array([p[0] for p in pairs])},
+        "view2": {"idx": np.array([p[1] for p in pairs])},
+        "pred1": {"pts3d": rng.standard_normal((E, H, W, 3)).astype(np.float32),
+                  "conf": 1 + rng.random((E, H, W)).astype(np.float32)},
+        "pred2": {"pts3d_in_other_view":
+                  rng.standard_normal((E, H, W, 3)).astype(np.float32),
+                  "conf": 1 + rng.random((E, H, W)).astype(np.float32)},
+    }
+    scene = compat.global_aligner(out, device=None,
+                                  mode=compat.GlobalAlignerMode.PointCloudOptimizer)
+    p = tmp_path / "scores.png"
+    r = scene.compute_global_alignment(init="mst", niter=2,
+                                       save_score_path=str(p),
+                                       save_score_only=True)
+    assert r is None
+    m = np.load(str(p) + ".npy")
+    assert m.shape == (scene.cfg.n_imgs, scene.cfg.n_imgs)
+    finite = np.isfinite(m)
+    assert finite.sum() == scene.data.ei.shape[0]
+    # full call with score dump still solves
+    loss = scene.compute_global_alignment(init="mst", niter=2,
+                                          save_score_path=str(p))
+    assert np.isfinite(loss)
