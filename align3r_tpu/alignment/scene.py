@@ -358,9 +358,11 @@ def _pairwise_pts_loss_fused(params, data: SceneData, cfg: SceneConfig):
 
 def fused_supported(cfg: SceneConfig) -> bool:
     """The fused kernel keeps (n, 3, rb, 128) proj + d_proj blocks resident
-    in VMEM; for very image-heavy scenes that no longer fits."""
+    in VMEM; rb shrinks to 8 for image-heavy scenes (ops/edge_loss.py
+    choose_blocks), which stretches the bound to n ~ 256 before the XLA
+    one-hot path takes over."""
     n = cfg.n_imgs
-    return 2 * n * 3 * 16 * 128 * 8 <= 12 * 2 ** 20
+    return 2 * n * 3 * 8 * 128 * 8 <= 12 * 2 ** 20
 
 def resolve_fast_impl(cfg: SceneConfig) -> str:
     impl = cfg.fast_impl
@@ -372,7 +374,7 @@ def resolve_fast_impl(cfg: SceneConfig) -> str:
         # >128-image solve is almost always a configuration mistake.
         warnings.warn(
             f"fused edge-residual solve disabled: n_imgs={cfg.n_imgs} exceeds "
-            "the VMEM-residency cap (~128 at 512x288); falling back to the "
+            "the VMEM-residency cap (~256); falling back to the "
             "2-3x slower XLA one-hot path. Consider hierarchical clips "
             "(tool/pose_test.py --hierarchical).", stacklevel=2)
         impl = "xla"

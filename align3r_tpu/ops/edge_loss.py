@@ -73,8 +73,11 @@ def choose_blocks(n: int, e2: int, la: int, vmem_budget: int = 9 * 2 ** 20):
     fp32 accumulator) + streamed pred/w blocks (eb * 4 * rb * 128 * dt).
     """
     eb = 8
-    rb = 16
-    for cand in (32, 64):
+    # prefer tall row blocks; fall back to rb=8 for image-heavy scenes so
+    # the VMEM residency bound stretches to n ~ 256 before the XLA path
+    # takes over (fp32 min sublane tile is 8, so rb=8 stays tile-aligned)
+    rb = 8
+    for cand in (16, 32, 64):
         if (2 * n * 3 * cand * 128 * 8
                 + 2 * eb * 4 * cand * 128 * 4) <= vmem_budget:
             rb = cand

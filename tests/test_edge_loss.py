@@ -161,3 +161,26 @@ def test_fused_solve_matches_fp32_solution():
     final_ref = float(pairwise_pts_loss(p_ref, data, cfg))
     final_f = float(pairwise_pts_loss(p_f, data, cfg))
     assert abs(final_ref - final_f) < 5e-3 * max(1.0, abs(final_ref))
+
+
+def test_fused_rb8_large_scene_matches_fp32():
+    """Image-heavy scene (129 <= n <= 256) now stays on the fused path via
+    rb=8 row blocks instead of silently losing it to the XLA fallback."""
+    import dataclasses as dc
+    from align3r_tpu.alignment.scene import resolve_fast_impl
+    # sliding-window graph keeps E small while n is large
+    cfg, data, params = _synthetic_scene(n=150, H=8, W=16, graph="swin-1")
+    assert resolve_fast_impl(dc.replace(cfg, fast_impl="fused")) == "fused"
+    rb, eb = el.choose_blocks(cfg.n_imgs, 2 * cfg.n_edges,
+                              -(-cfg.imshape[0] * cfg.imshape[1] // 128))
+    assert rb == 8, rb
+    data_p = pack_scene(data, cfg, dtype=jnp.float32)
+    ref = float(pairwise_pts_loss(params, data, cfg))
+    fused = float(_pairwise_pts_loss_fused(params, data_p, cfg))
+    assert abs(ref - fused) < 1e-5 * max(1.0, abs(ref)), (ref, fused)
+    g_ref = jax.grad(pairwise_pts_loss)(params, data, cfg)
+    g_f = jax.grad(_pairwise_pts_loss_fused)(params, data_p, cfg)
+    for k in ("im_poses", "im_focals", "pw_poses"):
+        a, b = np.asarray(g_ref[k]), np.asarray(g_f[k])
+        scale = max(np.abs(a).max(), 1e-6)
+        np.testing.assert_allclose(b, a, atol=3e-6 * scale, err_msg=k)
