@@ -153,6 +153,14 @@ def inference(pairs: Sequence[Tuple[int, int]], params, cfg: Align3RConfig,
         # encoder: fused attention site (XLA MLP — its weights exceed the
         # site's VMEM gate at C=1024): 4.30 vs 5.10 ms/img measured
         encode_attn_impl = attn_impl if attn_impl == "fused" else "auto"
+    if stacked_heads and head_conv_impl == "pipeline":
+        # the stacked-head path vmaps apply_dpt_head, which the pipeline
+        # kernels' manual DMA does not support — refuse silently-wrong A/Bs
+        import warnings
+        warnings.warn("stacked_heads=True does not support "
+                      "head_conv_impl='pipeline'; using the XLA head",
+                      stacklevel=2)
+        head_conv_impl = "xla"
 
     # one-time decode prep: stream-stacked, bf16-kernel decoder weights
     # (otherwise every decode program re-copies ~900 MB of fp32 weights)

@@ -268,8 +268,11 @@ def decode_pair(params: Params, feat1, pos1, feat2, pos2, pc_tokens, pc_pos,
 # stack_decoder_params cache: repeated per-video engine calls pass the SAME
 # raw params dict, and restacking discards + rebuilds the full decoder weight
 # set each time. Keyed on (id(params), dtype); the cache value pins the
-# original dict so its id cannot be recycled. Bounded to a couple of models.
+# original dict so its id cannot be recycled. SINGLE entry: caching more
+# would pin evicted models' full weight sets in HBM (a ViT-L set is ~3 GB
+# on a 16 GB chip); loading a new checkpoint evicts the old one.
 _STACK_CACHE: dict = {}
+_STACK_CACHE_SIZE = 1
 
 
 def stack_decoder_params(params: Params, dtype=jnp.bfloat16) -> Params:
@@ -304,7 +307,7 @@ def stack_decoder_params(params: Params, dtype=jnp.bfloat16) -> Params:
                       params["dec_blocks"], params["dec_blocks2"])
     out = dict(params)
     out["dec_blocks_lg"] = cast_kernels(lg)
-    if len(_STACK_CACHE) >= 4:
+    while len(_STACK_CACHE) >= _STACK_CACHE_SIZE:
         _STACK_CACHE.pop(next(iter(_STACK_CACHE)))
     _STACK_CACHE[ck] = (params, out)
     return out

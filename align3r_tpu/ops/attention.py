@@ -1,9 +1,11 @@
-"""Attention dispatch: Pallas fused RoPE-attention kernel or pure-XLA path.
+"""Attention dispatch: Pallas small_attention kernel, stock flash, or XLA.
 
 The XLA path is the semantic reference (softmax attention with fp32
-accumulation, reference croco/models/blocks.py:94-112). The Pallas kernel in
-ops/rope_attention.py fuses RoPE application with flash-style attention for
-the TPU hot path; `attention()` picks automatically.
+accumulation, reference croco/models/blocks.py:94-112). On TPU, 'auto'
+resolves to ops/small_attention.py (VMEM-resident logits — Align3R
+sequences are short); the stock Pallas flash kernel is the long-sequence
+fallback. Whole-site fusion (LN+qkv+RoPE+attn+proj) lives in
+ops/fused_site.py and is dispatched at the block level, not here.
 """
 from __future__ import annotations
 

@@ -49,7 +49,10 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-P = 2  # halo rows/cols each side: two chained 3x3 convs per unit
+P = 2    # halo rows each side: two chained 3x3 convs per unit
+LPW = 8  # physical W pad each side: Mosaic requires DMA/store offsets in
+         # the sublane (W) dim to be divisible by the 8-row tile, so the
+         # logical 2-col halo lives inside an 8-col physical pad
 
 
 def _pick_th(H: int, W: int, C: int, dtype_bytes: int = 2,
@@ -58,7 +61,7 @@ def _pick_th(H: int, W: int, C: int, dtype_bytes: int = 2,
     weights = 2 * 9 * C * C * dtype_bytes
     for th in sorted({d for d in range(1, H + 1) if H % d == 0},
                      reverse=True):
-        rp, wp = th + 2 * P, W + 2 * P
+        rp, wp = th + 2 * P, W + 2 * LPW
         stages = 3 * rp * wp * C * dtype_bytes      # v, base, live temp
         acc = (rp - 2) * (wp - 2) * C * 4           # fp32 accumulator
         out = th * W * C * dtype_bytes
@@ -74,10 +77,10 @@ def supported(x) -> bool:
 
 def _mask_outside(buf, row0_abs, H: int, W: int):
     """Zero positions of buf (R, WP, C) whose absolute image coordinate
-    (rows row0_abs+i, cols j-P) is outside [0, H) x [0, W)."""
+    (rows row0_abs+i, cols j-LPW) is outside [0, H) x [0, W)."""
     R, WP, _ = buf.shape
     rows = jax.lax.broadcasted_iota(jnp.int32, (R, WP, 1), 0) + row0_abs
-    cols = jax.lax.broadcasted_iota(jnp.int32, (R, WP, 1), 1) - P
+    cols = jax.lax.broadcasted_iota(jnp.int32, (R, WP, 1), 1) - LPW
     ok = (rows >= 0) & (rows < H) & (cols >= 0) & (cols < W)
     return jnp.where(ok, buf, jnp.zeros_like(buf))
 
@@ -95,7 +98,7 @@ def _res_unit_kernel(H: int, W: int, TH: int, same_base: bool,
     b = pl.program_id(0)
     s = pl.program_id(1)
     C = v_vmem.shape[-1]
-    RP, WP = TH + 2 * P, W + 2 * P
+    RP, WP = TH + 2 * P, W + 2 * LPW
     h0 = s * TH - P                     # absolute row of scratch row 0
     f32 = jnp.float32
 
@@ -108,7 +111,7 @@ def _res_unit_kernel(H: int, W: int, TH: int, same_base: bool,
         # padded-H source: rows [s*TH, s*TH + RP) are always in range
         cp = pltpu.make_async_copy(
             hbm.at[b, pl.ds(s * TH, RP), :, :],
-            vmem.at[:, pl.ds(P, W), :],
+            vmem.at[:, pl.ds(LPW, W), :],
             sem.at[slot])
         cp.start()
         return cp
@@ -128,7 +131,7 @@ def _res_unit_kernel(H: int, W: int, TH: int, same_base: bool,
                     w_ref[ci, dh * 3 + dw],
                     dimension_numbers=(((2,), (0,)), ((), ())),
                     preferred_element_type=f32)
-        acc = acc + b_ref[ci][None].astype(f32)
+        acc = acc + b_ref[ci].astype(f32)      # (1, C) broadcasts
         out = jnp.pad(acc, ((1, 1), (1, 1), (0, 0)))
         if mask:
             # re-establish SAME zero padding (bias leaked into pad rows)
@@ -142,13 +145,15 @@ def _res_unit_kernel(H: int, W: int, TH: int, same_base: bool,
     y = v_vmem[:] + a              # is kept, so no re-masking needed
     if not same_base:
         y = y + base_vmem[:]
-    out_ref[:] = y[None, P:P + TH, P:P + W, :]
+    # NB: out_ref[:] = y[None, ...] lowers as an unsupported >2D gather on
+    # Mosaic (None + slices in one take); index the leading block dim away
+    out_ref[0] = y[P:P + TH, LPW:LPW + W, :]
 
 
-@functools.partial(jax.jit, static_argnames=("same_base", "interpret"))
-def _res_unit_call(v, base, w, bias, *, same_base, interpret=False):
+@functools.partial(jax.jit, static_argnames=("same_base", "interpret", "th"))
+def _res_unit_call(v, base, w, bias, *, same_base, interpret=False, th=None):
     B, H, W, C = v.shape
-    TH = _pick_th(H, W, C, dtype_bytes=v.dtype.itemsize)
+    TH = th or _pick_th(H, W, C, dtype_bytes=v.dtype.itemsize)
     SH = H // TH
     pad = [(0, 0), (P, P), (0, 0), (0, 0)]
     vp = jnp.pad(v, pad)
@@ -166,10 +171,14 @@ def _res_unit_call(v, base, w, bias, *, same_base, interpret=False):
         out_specs=pl.BlockSpec((1, TH, W, C), lambda b, s: (b, s, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((B, H, W, C), v.dtype),
         scratch_shapes=[
-            pltpu.VMEM((TH + 2 * P, W + 2 * P, C), v.dtype),
-            pltpu.VMEM((TH + 2 * P, W + 2 * P, C), v.dtype),
+            pltpu.VMEM((TH + 2 * P, W + 2 * LPW, C), v.dtype),
+            pltpu.VMEM((TH + 2 * P, W + 2 * LPW, C), v.dtype),
             pltpu.SemaphoreType.DMA((2,)),
         ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
         interpret=interpret,
     )(vp, bp, w, bias)
 
@@ -234,16 +243,20 @@ def _unit_weights(unit, dtype):
     return (jnp.stack(ws).astype(dtype), jnp.stack(bs).astype(jnp.float32))
 
 
-def fused_res_unit(v, unit, base=None, *, interpret=None):
+def fused_res_unit(v, unit, base=None, *, interpret=None, th=None):
     """The DPT ResidualConvUnit (croco/models/dpt_block.py:80-139):
     v + conv2(relu(conv1(relu(v)))), plus `base` when given (the fusion
     block's `x + res1(skip)`, dpt_block.py:186-188). Matches
     dpt_head._residual_conv_unit numerics at the storage dtype (fp32
-    accumulation in-kernel)."""
+    accumulation in-kernel). `th` overrides the strip height (tests force
+    multi-strip execution with it)."""
     if interpret is None:
         interpret = jax.default_backend() not in ("tpu", "axon")
     w, b = _unit_weights(unit, v.dtype)
     same = base is None
+    if th is not None:
+        return _res_unit_call(v, v if same else base, w, b, same_base=same,
+                              interpret=interpret, th=th)
     return _res_unit_diff(v, v if same else base, w, b, same, interpret)
 
 
@@ -294,21 +307,24 @@ def _head_trio_kernel(Hin: int, Win: int, TH: int, KH: int,
         xs[:] = jnp.zeros_like(xs)
         h2[:] = jnp.zeros_like(h2)
 
-    # conv1-input band: rows [band-1, band+KH+1) of the H-padded input
+    # conv1-input band: rows [band-1, band+KH+1) of the H-padded input;
+    # the DMA destination offset in the sublane (W) dim must be 8-aligned
     band = band_ref[s]
     cp = pltpu.make_async_copy(
         x_hbm.at[b, pl.ds(band, KH + 2), :, :],
-        xs.at[:, pl.ds(1, Win), :],
+        xs.at[:, pl.ds(LPW, Win), :],
         sem)
     cp.start()
     cp.wait()
 
-    # conv1 (no activation): (KH, Win, C2)
+    # conv1 (no activation): (KH, Win, C2); input col w lives at physical
+    # col LPW + w, so tap dw reads physical cols [LPW-1+dw, ...)
     acc = jnp.zeros((KH, Win, C2), f32)
     for dh in range(3):
         for dw in range(3):
             acc = acc + jax.lax.dot_general(
-                xs[dh:dh + KH, dw:dw + Win, :], w1_ref[dh * 3 + dw],
+                xs[dh:dh + KH, LPW - 1 + dw:LPW - 1 + dw + Win, :],
+                w1_ref[dh * 3 + dw],
                 dimension_numbers=(((2,), (0,)), ((), ())),
                 preferred_element_type=f32)
     h1 = (acc + b1_ref[:].astype(f32)).astype(xs.dtype)
@@ -323,14 +339,15 @@ def _head_trio_kernel(Hin: int, Win: int, TH: int, KH: int,
     rm = jax.lax.dot_general(
         ah_ref[0], h1w[:], (((1,), (0,)), ((), ())),
         preferred_element_type=f32)                  # (R, Wout, C2)
-    h2[:, 1:1 + Wout, :] = rm.astype(h2.dtype)
+    h2[:, LPW:LPW + Wout, :] = rm.astype(h2.dtype)
 
     # conv2 + bias + relu (fp32), then the fp32 1x1 conv3
     acc2 = jnp.zeros((TH, Wout, C2), f32)
     for dh in range(3):
         for dw in range(3):
             acc2 = acc2 + jax.lax.dot_general(
-                h2[dh:dh + TH, dw:dw + Wout, :], w2_ref[dh * 3 + dw],
+                h2[dh:dh + TH, LPW - 1 + dw:LPW - 1 + dw + Wout, :],
+                w2_ref[dh * 3 + dw],
                 dimension_numbers=(((2,), (0,)), ((), ())),
                 preferred_element_type=f32)
     a2 = jnp.maximum(acc2 + b2_ref[:].astype(f32), 0.0)
@@ -370,9 +387,9 @@ def _head_trio_call(x, bands, ah, aw, w1, b1, w2, b2, w3, b3, *,
                                lambda b, s: (b, s, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((B, Hout, Wout, Cout), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((KH + 2, Win + 2, C1), x.dtype),
+            pltpu.VMEM((KH + 2, Win + 2 * LPW, C1), x.dtype),
             pltpu.VMEM((KH, Wout, C2), x.dtype),
-            pltpu.VMEM((TH + 2, Wout + 2, C2), x.dtype),
+            pltpu.VMEM((TH + 2, Wout + 2 * LPW, C2), x.dtype),
             pltpu.SemaphoreType.DMA(()),
         ],
         compiler_params=pltpu.CompilerParams(

@@ -39,6 +39,16 @@ def install_reference_dep_stubs():
     import numpy as np
     import torch
 
+    import importlib.util
+
+    def _really_installed(root: str) -> bool:
+        if root in sys.modules and root not in _STUB_NAMES:
+            return True
+        try:
+            return importlib.util.find_spec(root) is not None
+        except (ImportError, ValueError):
+            return False
+
     def stub(name, **attrs):
         m = sys.modules.get(name)
         if m is None:
@@ -49,8 +59,12 @@ def install_reference_dep_stubs():
             setattr(m, k, v)
         return m
 
-    w = stub("wandb")
-    w.wandb_torch = stub("wandb.wandb_torch", torch=torch)
+    # NEVER touch a genuinely-installed package: if e.g. torchvision
+    # exists, the reference imports it fine, and overwriting its
+    # attributes would corrupt the rest of the pytest process.
+    if not _really_installed("wandb"):
+        w = stub("wandb")
+        w.wandb_torch = stub("wandb.wandb_torch", torch=torch)
 
     # --- roma (the one real dependency on the solve path) ---
     def _quat_to_R(q):  # XYZW, unit
@@ -87,8 +101,9 @@ def install_reference_dep_stubs():
             Rotation.from_matrix(np.asarray(R.detach().cpu(), np.float64))
             .as_quat().astype(np.float32))
 
-    stub("roma", RigidUnitQuat=RigidUnitQuat,
-         rotmat_to_unitquat=rotmat_to_unitquat, _quat_to_R=_quat_to_R)
+    if not _really_installed("roma"):
+        stub("roma", RigidUnitQuat=RigidUnitQuat,
+             rotmat_to_unitquat=rotmat_to_unitquat, _quat_to_R=_quat_to_R)
 
     # --- torchvision (utils/image.py loader transforms; unused here) ---
     class _Identity:
@@ -98,30 +113,35 @@ def install_reference_dep_stubs():
         def __call__(self, x):
             return x
 
-    tv = stub("torchvision")
-    tv.transforms = stub("torchvision.transforms", Compose=_Identity,
-                         ToTensor=_Identity, Normalize=_Identity)
+    if not _really_installed("torchvision"):
+        tv = stub("torchvision")
+        tv.transforms = stub("torchvision.transforms", Compose=_Identity,
+                             ToTensor=_Identity, Normalize=_Identity)
 
     # --- evo (vo_eval trajectory metrics; unused on the solve path) ---
-    stub("evo")
-    stub("evo.main_ape", ape=None)
-    stub("evo.main_rpe", rpe=None)
-    core = stub("evo.core", sync=None)
-    core.sync = stub("evo.core.sync", associate_trajectories=None)
-    core.metrics = stub("evo.core.metrics", PoseRelation=None, Unit=None)
-    core.trajectory = stub("evo.core.trajectory", PosePath3D=None,
-                           PoseTrajectory3D=None)
-    tools = stub("evo.tools")
-    tools.file_interface = stub("evo.tools.file_interface")
-    tools.plot = stub("evo.tools.plot")
+    if not _really_installed("evo"):
+        stub("evo")
+        stub("evo.main_ape", ape=None)
+        stub("evo.main_rpe", rpe=None)
+        core = stub("evo.core", sync=None)
+        core.sync = stub("evo.core.sync", associate_trajectories=None)
+        core.metrics = stub("evo.core.metrics", PoseRelation=None, Unit=None)
+        core.trajectory = stub("evo.core.trajectory", PosePath3D=None,
+                               PoseTrajectory3D=None)
+        tools = stub("evo.tools")
+        tools.file_interface = stub("evo.tools.file_interface")
+        tools.plot = stub("evo.tools.plot")
 
     # --- sam2 + third_party.raft (cloud_opt_flow/optimizer.py module-scope
     # imports; only exercised by get_flow()/refine_motion_mask_w_sam2(),
     # which need checkpoints this container does not have) ---
-    s2 = stub("sam2")
-    s2.build_sam = stub("sam2.build_sam", build_sam2_video_predictor=None)
-    tp = stub("third_party", load_RAFT=None)
-    tp.raft = stub("third_party.raft", load_RAFT=None)
+    if not _really_installed("sam2"):
+        s2 = stub("sam2")
+        s2.build_sam = stub("sam2.build_sam",
+                            build_sam2_video_predictor=None)
+    if not _really_installed("third_party"):
+        tp = stub("third_party", load_RAFT=None)
+        tp.raft = stub("third_party.raft", load_RAFT=None)
 
 
 def reference_available() -> bool:

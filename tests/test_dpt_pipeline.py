@@ -13,8 +13,7 @@ import jax.numpy as jnp
 
 from align3r_tpu.models import nn
 from align3r_tpu.models.dpt_head import _residual_conv_unit
-from align3r_tpu.ops.dpt_pipeline import (fused_res_unit, fused_fusion_pre,
-                                          _pick_th)
+from align3r_tpu.ops.dpt_pipeline import fused_res_unit, fused_fusion_pre
 
 
 def _unit(key, C, scale=0.2):
@@ -51,17 +50,19 @@ def test_res_unit_with_base_fp32():
                                atol=1e-5, rtol=1e-5)
 
 
-def test_strip_boundaries_exact():
-    """Force multiple strips (small TH) and check rows at strip seams."""
+@pytest.mark.parametrize("th", [4, 8, 12])
+def test_strip_boundaries_exact(th):
+    """FORCE multiple strips (th override) so the halo DMA, seam rows and
+    out-of-image masking are actually exercised (auto _pick_th would choose
+    TH=H at CPU test shapes and never split)."""
     key = jax.random.PRNGKey(2)
     C = 128
     H, W = 24, 16
+    assert H % th == 0 and H // th > 1
     u = _unit(key, C)
     x = jax.random.normal(jax.random.fold_in(key, 3), (1, H, W, C))
-    th = _pick_th(H, W, C, dtype_bytes=4)
-    assert th >= 1
     ref = _residual_conv_unit(u, x)
-    got = fused_res_unit(x, u, interpret=True)
+    got = fused_res_unit(x, u, interpret=True, th=th)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                atol=1e-5, rtol=1e-5)
 

@@ -61,7 +61,9 @@ def test_roma_stub_matches_scipy():
     from scipy.spatial.transform import Rotation
     install_reference_dep_stubs()
     import sys
-    roma = sys.modules["roma"]
+    roma = sys.modules.get("roma")
+    if roma is None or not hasattr(roma, "_quat_to_R"):
+        pytest.skip("real roma installed; stub not in play")
     q = torch.randn(7, 4, generator=torch.Generator().manual_seed(3))
     q = q / q.norm(dim=-1, keepdim=True)
     R_stub = roma._quat_to_R(q).numpy()

@@ -25,17 +25,9 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def timed_calls(fn, *args, reps=10):
-    """Pipelined wall time: dispatch reps, one final host sync (the axon
-    tunnel adds ~30 ms to any per-call sync — see CLAUDE.md)."""
-    import jax.numpy as jnp
-    out = fn(*args)
-    np.asarray(jnp.sum(out if not isinstance(out, tuple) else out[0]))
-    t0 = time.perf_counter()
-    for _ in range(reps):
-        out = fn(*args)
-    np.asarray(jnp.sum(out if not isinstance(out, tuple) else out[0]))
-    return (time.perf_counter() - t0) / reps
+# shared pipelined-timing helper — ONE copy of the measurement-discipline
+# logic (per-call syncs over the axon tunnel cost ~30 ms; see CLAUDE.md)
+from profile_decode import timed_calls  # noqa: E402
 
 
 def main():

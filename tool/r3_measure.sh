@@ -2,7 +2,7 @@
 # Round-3 TPU measurement batch: run everything queued for a healthy-tunnel
 # window, one process at a time, results to /tmp/r3_*.txt.
 # Usage: bash tool/r3_measure.sh [quick]
-set -x
+set -x -o pipefail
 cd "$(dirname "$0")/.."
 
 timeout 90 python -c "import jax, jax.numpy as jnp, numpy as np; print(float(np.asarray(jnp.sum(jnp.ones((256,256))@jnp.ones((256,256))))))" \
