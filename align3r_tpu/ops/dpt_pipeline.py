@@ -38,7 +38,20 @@ The resize (align_corners bilinear, a dense-matmul pair in
 nn.bilinear_resize_mxu) and the 1x1 convs stay in XLA: together they are
 <10% of head FLOPs and XLA fuses them well.
 
-Inference-only: the training path keeps apply_dpt_head's XLA graph.
+HONEST PERFORMANCE NOTE (measured on v5e, 2026-08-17): the XLA head is
+FASTER — 1.76 ms/img bf16 vs 2.68 ms/img through these kernels at ViT-L
+512x288 shapes (tool/profile_decode.py --which heads). The XLA head's
+1.76 ms/img over its ~135 GFLOP is ~77 TF/s average, i.e. already near
+the practical conv ceiling, so the fusion headroom this kernel was built
+to capture ("~3x off SOL" in the r2 backlog) does not exist; the r2
+estimate double-counted bandwidth that XLA's conv emitter was never
+spending. The kernel's own deficit is the per-dw sublane-slice relayouts
+(Mosaic cannot rotate 16-bit data, and unaligned slice widths block the
+flattened one-matmul-per-tap form). Kept as a correct, tested,
+non-default path (engine head_conv_impl='pipeline') and as the recorded
+negative result.
+
+Inference-only default path: training keeps apply_dpt_head's XLA graph.
 """
 from __future__ import annotations
 
@@ -56,7 +69,7 @@ LPW = 8  # physical W pad each side: Mosaic requires DMA/store offsets in
 
 
 def _pick_th(H: int, W: int, C: int, dtype_bytes: int = 2,
-             vmem_budget: int = 12 * 2 ** 20) -> int:
+             vmem_budget: int = 16 * 2 ** 20) -> int:
     """Largest strip height dividing H whose working set fits VMEM."""
     weights = 2 * 9 * C * C * dtype_bytes
     for th in sorted({d for d in range(1, H + 1) if H % d == 0},
@@ -123,11 +136,20 @@ def _res_unit_kernel(H: int, W: int, TH: int, same_base: bool,
         cp_b.wait()
 
     def conv(src, ci, mask):
+        # Tap shifts slice the sublane (W) dim, which costs a relayout
+        # copy per dw (hoisted out of the dh loop: 3 copies per conv, not
+        # 9; rows are untiled so dh slices are free). NB a full-width
+        # pltpu.roll formulation (one big flattened matmul per tap) would
+        # avoid the relayouts but Mosaic cannot rotate 16-bit data
+        # ("Rotate with non-32-bit data"), and the unaligned post-slice
+        # width forces per-row matmuls either way — both measured; see the
+        # module docstring's honest-performance note.
         acc = jnp.zeros((RP - 2, WP - 2, C), f32)
-        for dh in range(3):
-            for dw in range(3):
+        for dw in range(3):
+            shifted = src[:, dw:dw + WP - 2, :]
+            for dh in range(3):
                 acc = acc + jax.lax.dot_general(
-                    src[dh:dh + RP - 2, dw:dw + WP - 2, :],
+                    shifted[dh:dh + RP - 2],
                     w_ref[ci, dh * 3 + dw],
                     dimension_numbers=(((2,), (0,)), ((), ())),
                     preferred_element_type=f32)
@@ -320,10 +342,11 @@ def _head_trio_kernel(Hin: int, Win: int, TH: int, KH: int,
     # conv1 (no activation): (KH, Win, C2); input col w lives at physical
     # col LPW + w, so tap dw reads physical cols [LPW-1+dw, ...)
     acc = jnp.zeros((KH, Win, C2), f32)
-    for dh in range(3):
-        for dw in range(3):
+    for dw in range(3):
+        shifted = xs[:, LPW - 1 + dw:LPW - 1 + dw + Win, :]
+        for dh in range(3):
             acc = acc + jax.lax.dot_general(
-                xs[dh:dh + KH, LPW - 1 + dw:LPW - 1 + dw + Win, :],
+                shifted[dh:dh + KH],
                 w1_ref[dh * 3 + dw],
                 dimension_numbers=(((2,), (0,)), ((), ())),
                 preferred_element_type=f32)
@@ -343,10 +366,11 @@ def _head_trio_kernel(Hin: int, Win: int, TH: int, KH: int,
 
     # conv2 + bias + relu (fp32), then the fp32 1x1 conv3
     acc2 = jnp.zeros((TH, Wout, C2), f32)
-    for dh in range(3):
-        for dw in range(3):
+    for dw in range(3):
+        shifted = h2[:, LPW - 1 + dw:LPW - 1 + dw + Wout, :]
+        for dh in range(3):
             acc2 = acc2 + jax.lax.dot_general(
-                h2[dh:dh + TH, LPW - 1 + dw:LPW - 1 + dw + Wout, :],
+                shifted[dh:dh + TH],
                 w2_ref[dh * 3 + dw],
                 dimension_numbers=(((2,), (0,)), ((), ())),
                 preferred_element_type=f32)
