@@ -36,6 +36,9 @@ def main():
                     metavar=("H", "W"))
     ap.add_argument("--iters", type=int, default=20)
     ap.add_argument("--reps", type=int, default=10)
+    ap.add_argument("--batch", type=int, default=8,
+                    help="images per call: amortizes the ~28 ms fixed "
+                         "per-program dispatch cost (CLAUDE.md)")
     args = ap.parse_args()
 
     import jax
@@ -47,37 +50,39 @@ def main():
                                          pad_to_8)
 
     H, W = args.size
+    B = args.batch
     cfg = SPRING_M
     key = jax.random.PRNGKey(0)
     params = init_raft(key, cfg)
-    img1 = jax.random.uniform(key, (1, H, W, 3)) * 255
-    img2 = jax.random.uniform(jax.random.fold_in(key, 1), (1, H, W, 3)) * 255
+    img1 = jax.random.uniform(key, (B, H, W, 3)) * 255
+    img2 = jax.random.uniform(jax.random.fold_in(key, 1), (B, H, W, 3)) * 255
     img1p, _ = pad_to_8(2 * (img1 / 255.0) - 1)
     img2p, _ = pad_to_8(2 * (img2 / 255.0) - 1)
-    B, Hp, Wp, _ = img1p.shape
+    _, Hp, Wp, _ = img1p.shape
     h, w = Hp // 8, Wp // 8
 
     print(f"SEA-RAFT {cfg.__class__.__name__} {H}x{W} iters={args.iters} "
-          f"(grid {h}x{w})")
+          f"batch={B} (grid {h}x{w}); per-img numbers in brackets")
 
-    # ---- encoders
-    fnet = jax.jit(lambda x: resnet_fpn(params["fnet"], x, cfg))
-    cnet = jax.jit(lambda x: resnet_fpn(
-        params["cnet"], jnp.concatenate([x, x], -1), cfg))
-    dt_f = timed_calls(fnet, img1p, reps=args.reps)
-    dt_c = timed_calls(cnet, img1p, reps=args.reps)
-    print(f"fnet (x2 per pair)   {dt_f*1e3:8.3f} ms")
-    print(f"cnet                 {dt_c*1e3:8.3f} ms")
+    # ---- encoders (params passed as args, NOT closed over — closure
+    # arrays embed as program constants and distort standalone timings)
+    fnet = lambda p, x: resnet_fpn(p["fnet"], x, cfg)
+    cnet = lambda p, x: resnet_fpn(p["cnet"], jnp.concatenate([x, x], -1),
+                                   cfg)
+    dt_f = timed_calls(fnet, params, img1p, reps=args.reps)
+    dt_c = timed_calls(cnet, params, img1p, reps=args.reps)
+    print(f"fnet (x2 per pair)   {dt_f*1e3:8.3f} ms  [{dt_f/B*1e3:6.3f}]")
+    print(f"cnet                 {dt_c*1e3:8.3f} ms  [{dt_c/B*1e3:6.3f}]")
 
-    fmap1 = fnet(img1p)
-    fmap2 = fnet(img2p)
+    fmap1 = jax.jit(fnet)(params, img1p)
+    fmap2 = jax.jit(fnet)(params, img2p)
 
     # ---- corr pyramid build
-    pyr_fn = jax.jit(lambda a, b: build_corr_pyramid(a, b, cfg)[0])
+    pyr_fn = lambda a, b: build_corr_pyramid(a, b, cfg)[0]
     dt_p = timed_calls(pyr_fn, fmap1, fmap2, reps=args.reps)
     n = h * w
-    flops_p = 2 * n * n * fmap1.shape[-1]
-    print(f"corr pyramid         {dt_p*1e3:8.3f} ms  "
+    flops_p = 2 * B * n * n * fmap1.shape[-1]
+    print(f"corr pyramid         {dt_p*1e3:8.3f} ms  [{dt_p/B*1e3:6.3f}]  "
           f"({flops_p/dt_p/1e12:5.1f} TF/s)")
 
     pyramid = build_corr_pyramid(fmap1, fmap2, cfg)
@@ -91,12 +96,12 @@ def main():
             return c + 1e-3, jnp.sum(corr)
         c, s = jax.lax.scan(body, coords, None, length=args.iters)
         return s.sum()
-    dt_l = timed_calls(jax.jit(lookups), coords, reps=args.reps)
+    dt_l = timed_calls(lookups, coords, reps=args.reps)
     print(f"corr lookup x{args.iters:2d}     {dt_l*1e3:8.3f} ms  "
-          f"({dt_l/args.iters*1e3:6.3f} ms/iter)")
+          f"({dt_l/args.iters/B*1e3:6.3f} ms/iter/img)")
 
     # ---- update block (scanned x iters, isolated)
-    cn = cnet(img1p)
+    cn = jax.jit(cnet)(params, img1p)
     cn = conv(params["init_conv"], cn)
     net0, context = jnp.split(cn, 2, axis=-1)
     corr0 = lookup_corr(pyramid, coords, cfg)
@@ -109,15 +114,15 @@ def main():
             return nt2, jnp.sum(fu)
         nt, s = jax.lax.scan(body, net, None, length=args.iters)
         return s.sum()
-    dt_u = timed_calls(jax.jit(updates), net0, reps=args.reps)
+    dt_u = timed_calls(updates, net0, reps=args.reps)
     print(f"update block x{args.iters:2d}    {dt_u*1e3:8.3f} ms  "
-          f"({dt_u/args.iters*1e3:6.3f} ms/iter)")
+          f"({dt_u/args.iters/B*1e3:6.3f} ms/iter/img)")
 
     # ---- full solve
-    full = jax.jit(lambda a, b: raft_forward(params, a, b, cfg,
-                                             iters=args.iters))
-    dt_full = timed_calls(full, img1, img2, reps=args.reps)
-    print(f"full solve           {dt_full*1e3:8.3f} ms")
+    full = lambda p, a, b: raft_forward(p, a, b, cfg, iters=args.iters)
+    dt_full = timed_calls(full, params, img1, img2, reps=args.reps)
+    print(f"full solve           {dt_full*1e3:8.3f} ms  "
+          f"[{dt_full/B*1e3:6.3f} ms/img]")
     acc = 2 * dt_f + dt_c + dt_p + dt_l + dt_u
     print(f"stage sum            {acc*1e3:8.3f} ms "
           f"(residual {max(dt_full-acc,0)*1e3:.3f} ms = upsample + scan glue)")
