@@ -36,12 +36,15 @@ from align3r_tpu.models.rope import make_grid_positions
 def _decode_batch(params, feat1, feat2, pc1, pc2, cfg: Align3RConfig,
                   img_hw: Tuple[int, int], dtype=jnp.bfloat16,
                   head_dtype=jnp.float32, attn_impl: str = "auto",
-                  stacked_heads: bool = False, head_conv_impl: str = "xla"):
+                  stacked_heads: bool = False, head_conv_impl: str = "xla",
+                  unroll: int = 1):
     """Decoder + heads for a batch of pairs with precomputed features.
     head_dtype=jnp.bfloat16 opts the DPT conv pyramid into bf16 (fp32 is
     the reference AMP behaviour and the default); attn_impl="fused" routes
     decoder layers through the fused Pallas sites (ops/fused_site.py);
-    stacked_heads runs both DPT heads as one vmapped grouped-conv program."""
+    stacked_heads runs both DPT heads as one vmapped grouped-conv program;
+    unroll unrolls the decoder layer scans (u3 measured 3.98 vs 4.38
+    ms/pair at u1 with fused sites — tool/profile_decode.py)."""
     H, W = img_hw
     grid = (H // cfg.patch_size, W // cfg.patch_size)
     Bp = feat1.shape[0]
@@ -49,7 +52,8 @@ def _decode_batch(params, feat1, feat2, pc1, pc2, cfg: Align3RConfig,
     pc_pos = make_grid_positions(grid[0], grid[1], batch=2 * Bp)
     pc_tokens = jnp.concatenate([pc1, pc2], axis=0)
     hooks1, hooks2 = decode_pair(params, feat1, pos, feat2, pos,
-                                 pc_tokens, pc_pos, cfg, dtype, attn_impl)
+                                 pc_tokens, pc_pos, cfg, dtype, attn_impl,
+                                 unroll=unroll)
     if stacked_heads:
         return apply_dpt_heads_stacked(params["head1"], params["head2"],
                                        hooks1, hooks2, grid, (H, W),
@@ -67,23 +71,24 @@ def _decode_batch(params, feat1, feat2, pc1, pc2, cfg: Align3RConfig,
 @functools.partial(jax.jit,
                    static_argnames=("cfg", "img_hw", "dtype", "head_dtype",
                                     "attn_impl", "stacked_heads",
-                                    "head_conv_impl"))
+                                    "head_conv_impl", "unroll"))
 def _decode_batch_jit(params, feat1, feat2, pc1, pc2, cfg, img_hw,
                       dtype=jnp.bfloat16, head_dtype=jnp.float32,
                       attn_impl: str = "auto", stacked_heads: bool = False,
-                      head_conv_impl: str = "xla"):
+                      head_conv_impl: str = "xla", unroll: int = 1):
     return _decode_batch(params, feat1, feat2, pc1, pc2, cfg, img_hw, dtype,
-                         head_dtype, attn_impl, stacked_heads, head_conv_impl)
+                         head_dtype, attn_impl, stacked_heads, head_conv_impl,
+                         unroll)
 
 
 @functools.partial(jax.jit,
                    static_argnames=("cfg", "img_hw", "dtype", "head_dtype",
                                     "attn_impl", "stacked_heads",
-                                    "head_conv_impl"))
+                                    "head_conv_impl", "unroll"))
 def _decode_all_jit(params, feats, pc_tok, bi, bj, cfg, img_hw,
                     dtype=jnp.bfloat16, head_dtype=jnp.float32,
                     attn_impl: str = "auto", stacked_heads: bool = False,
-                    head_conv_impl: str = "xla"):
+                    head_conv_impl: str = "xla", unroll: int = 1):
     """Whole decode phase as ONE dispatch: lax.scan over padded pair
     batches (bi/bj: (n_batches, batch) image indices). A per-batch host
     loop costs ~11 dispatches per batch, and when the TPU tunnel enters a
@@ -97,7 +102,7 @@ def _decode_all_jit(params, feats, pc_tok, bi, bj, cfg, img_hw,
                                jnp.take(pc_tok, i, axis=0),
                                jnp.take(pc_tok, j, axis=0),
                                cfg, img_hw, dtype, head_dtype, attn_impl,
-                               stacked_heads, head_conv_impl)
+                               stacked_heads, head_conv_impl, unroll)
         return None, (r1, r2)
 
     _, (outs1, outs2) = jax.lax.scan(body, None, (bi, bj))
@@ -120,7 +125,7 @@ def inference(pairs: Sequence[Tuple[int, int]], params, cfg: Align3RConfig,
               encode_chunk: int = 16, head_dtype=jnp.bfloat16,
               attn_impl: str | None = None, stacked_heads: bool = False,
               encode_attn_impl: str | None = None,
-              head_conv_impl: str = "xla") -> Dict:
+              head_conv_impl: str = "xla", unroll: int = 3) -> Dict:
     """Run the two-view network over a frame graph.
 
     pairs: list of (i, j) index edges; imgs: (n, H, W, 3) normalised,
@@ -206,7 +211,7 @@ def inference(pairs: Sequence[Tuple[int, int]], params, cfg: Align3RConfig,
                                  jnp.asarray(bi[s:s + SCAN_NB]),
                                  jnp.asarray(bj[s:s + SCAN_NB]),
                                  cfg, (H, W), dtype, head_dtype, attn_impl,
-                                 stacked_heads, head_conv_impl)
+                                 stacked_heads, head_conv_impl, unroll)
         outs1.append(r1)
         outs2.append(r2)
     for s in range(n_full, n_batches):
@@ -217,7 +222,7 @@ def inference(pairs: Sequence[Tuple[int, int]], params, cfg: Align3RConfig,
                                    jnp.take(pc_tok, i, axis=0),
                                    jnp.take(pc_tok, j, axis=0),
                                    cfg, (H, W), dtype, head_dtype, attn_impl,
-                                   stacked_heads, head_conv_impl)
+                                   stacked_heads, head_conv_impl, unroll)
         outs1.append(r1)
         outs2.append(r2)
     cat = lambda outs: jax.tree.map(lambda *xs: jnp.concatenate(xs, axis=0)[:E],

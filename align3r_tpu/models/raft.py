@@ -125,7 +125,8 @@ def upsample_weight(p, net):
 
 def build_corr_pyramid(fmap1, fmap2, cfg: RAFTConfig) -> List[jnp.ndarray]:
     """All-pairs correlation at corr_levels scales of fmap2 (corr.py:11-23).
-    fmap*: (B, h, w, C). Returns list of (B, h1*w1, h2_l, w2_l)."""
+    fmap*: (B, h, w, C). Returns list of (B, h1*w1, h2_l, w2_l) in the fmap
+    dtype (fp32 accumulation inside the matmul either way)."""
     B, h1, w1, C = fmap1.shape
     f1 = fmap1.reshape(B, h1 * w1, C)
     pyramid = []
@@ -134,6 +135,7 @@ def build_corr_pyramid(fmap1, fmap2, cfg: RAFTConfig) -> List[jnp.ndarray]:
         B2, h2, w2, _ = f2.shape
         c = jnp.einsum("bnc,bmc->bnm", f1, f2.reshape(B, h2 * w2, C),
                        preferred_element_type=jnp.float32)
+        c = c.astype(fmap1.dtype)
         pyramid.append(c.reshape(B, h1 * w1, h2, w2) / np.sqrt(C))
         # F.interpolate(scale=0.5, bilinear, align_corners=False)
         f2 = nn.bilinear_resize(f2, max(h2 // 2, 1), max(w2 // 2, 1),
@@ -182,16 +184,20 @@ def lookup_corr(pyramid, coords, cfg: RAFTConfig, impl: str = "onehot"):
         cxl = cx / (2 ** i)
         hg = jnp.arange(h2, dtype=jnp.float32)
         wg = jnp.arange(w2, dtype=jnp.float32)
-        # (B, N, 9, h2) / (B, N, 9, w2) hat-function bilinear weights
+        # (B, N, 9, h2) / (B, N, 9, w2) hat-function bilinear weights;
+        # computed in fp32 (sub-pixel positions), then cast to the corr
+        # dtype so a bf16 pyramid keeps the matmuls at the MXU bf16 rate
         wy = jax.nn.relu(1.0 - jnp.abs(
             cyl[:, :, None, None] + d[None, None, :, None] - hg))
         wx = jax.nn.relu(1.0 - jnp.abs(
             cxl[:, :, None, None] + d[None, None, :, None] - wg))
+        wy = wy.astype(corr.dtype)
+        wx = wx.astype(corr.dtype)
         tmp = jnp.einsum("bnjh,bnhw->bnjw", wy, corr,
                          preferred_element_type=jnp.float32)
-        smp = jnp.einsum("bnjw,bniw->bnij", tmp, wx,
+        smp = jnp.einsum("bnjw,bniw->bnij", tmp.astype(corr.dtype), wx,
                          preferred_element_type=jnp.float32)
-        out.append(smp.reshape(B, h1, w1, -1))
+        out.append(smp.astype(jnp.float32).reshape(B, h1, w1, -1))
     return jnp.concatenate(out, axis=-1)
 
 
@@ -233,12 +239,21 @@ def pad_to_8(img):
 
 
 def raft_forward(params, image1, image2, cfg: RAFTConfig = SPRING_M,
-                 iters: int | None = None):
+                 iters: int | None = None, compute_dtype=jnp.float32):
     """image1/2: (B, H, W, 3) in [0, 255]. Returns final flow (B, H, W, 2)
-    at full resolution (test-mode path of raft.py:207-291)."""
+    at full resolution (test-mode path of raft.py:207-291).
+
+    compute_dtype=bfloat16 runs the conv stacks (fnet/cnet/update block) and
+    the correlation matmuls at the MXU bf16 rate; everything positional stays
+    fp32: coords, the accumulated flow field, the hat-function sample
+    positions, softmax in the convex upsample, and all matmul accumulators
+    (preferred_element_type). This mirrors the reference's torch.cuda.amp
+    usage (RAFT eval under autocast) rather than a blanket half cast.
+    """
     iters = cfg.iters if iters is None else iters
-    image1 = 2 * (image1 / 255.0) - 1.0
-    image2 = 2 * (image2 / 255.0) - 1.0
+    cd = compute_dtype
+    image1 = (2 * (image1 / 255.0) - 1.0).astype(cd)
+    image2 = (2 * (image2 / 255.0) - 1.0).astype(cd)
     image1, pads = pad_to_8(image1)
     image2, _ = pad_to_8(image2)
     B, H, W, _ = image1.shape
@@ -248,7 +263,7 @@ def raft_forward(params, image1, image2, cfg: RAFTConfig = SPRING_M,
     net, context = jnp.split(cnet, 2, axis=-1)
 
     fu = flow_head(params["flow_head"], net)
-    flow_8x = fu[..., :2]
+    flow_8x = fu[..., :2].astype(jnp.float32)
 
     fmap1 = resnet_fpn(params["fnet"], image1, cfg)
     fmap2 = resnet_fpn(params["fnet"], image2, cfg)
@@ -261,15 +276,17 @@ def raft_forward(params, image1, image2, cfg: RAFTConfig = SPRING_M,
         net, flow_8x = carry
         coords2 = jax.lax.stop_gradient(grid + flow_8x)
         corr = lookup_corr(pyramid, coords2, cfg)
-        net2 = update_block(params["update_block"], net,
-                            context, corr, jax.lax.stop_gradient(flow_8x), cfg)
+        net2 = update_block(params["update_block"], net, context,
+                            corr.astype(cd),
+                            jax.lax.stop_gradient(flow_8x).astype(cd), cfg)
         fu = flow_head(params["flow_head"], net2)
-        return (net2, jax.lax.stop_gradient(flow_8x) + fu[..., :2]), None
+        flow2 = jax.lax.stop_gradient(flow_8x) + fu[..., :2].astype(jnp.float32)
+        return (net2, flow2), None
 
     (net, flow_8x), _ = jax.lax.scan(body, (net, flow_8x), None, length=iters)
 
-    wgt = upsample_weight(params["upsample_weight"], net)
-    fu = flow_head(params["flow_head"], net)
+    wgt = upsample_weight(params["upsample_weight"], net).astype(jnp.float32)
+    fu = flow_head(params["flow_head"], net).astype(jnp.float32)
     flow_up, info_up = upsample_data(flow_8x, fu[..., 2:], wgt)
     t, b, l, r = pads
     return flow_up[:, t:H - b, l:W - r]

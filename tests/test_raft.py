@@ -246,3 +246,20 @@ def test_lookup_corr_onehot_matches_gather():
     b = lookup_corr(pyramid, coords, cfg, impl="onehot")
     np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                atol=1e-5, rtol=1e-5)
+
+
+def test_raft_bf16_compute_close_to_fp32():
+    """compute_dtype=bfloat16 keeps flow close to the fp32 path: positions,
+    accumulated flow, and matmul accumulators stay fp32, so the error is the
+    conv-stack rounding, not a systematic drift."""
+    params = init_raft(jax.random.PRNGKey(0), TINY)
+    img1 = jax.random.uniform(jax.random.PRNGKey(1), (1, 40, 56, 3)) * 255
+    img2 = jax.random.uniform(jax.random.PRNGKey(2), (1, 40, 56, 3)) * 255
+    f32 = np.asarray(raft_forward(params, img1, img2, TINY, iters=4))
+    f16 = np.asarray(raft_forward(params, img1, img2, TINY, iters=4,
+                                  compute_dtype=jnp.bfloat16))
+    assert f16.dtype == np.float32
+    assert np.isfinite(f16).all()
+    scale = np.abs(f32).mean() + 1e-3
+    rel = np.abs(f16 - f32).mean() / scale
+    assert rel < 0.15, (rel, scale)

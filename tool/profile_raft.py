@@ -118,11 +118,16 @@ def main():
     print(f"update block x{args.iters:2d}    {dt_u*1e3:8.3f} ms  "
           f"({dt_u/args.iters/B*1e3:6.3f} ms/iter/img)")
 
-    # ---- full solve
+    # ---- full solve (fp32 vs bf16 compute)
     full = lambda p, a, b: raft_forward(p, a, b, cfg, iters=args.iters)
     dt_full = timed_calls(full, params, img1, img2, reps=args.reps)
     print(f"full solve           {dt_full*1e3:8.3f} ms  "
           f"[{dt_full/B*1e3:6.3f} ms/img]")
+    full16 = lambda p, a, b: raft_forward(p, a, b, cfg, iters=args.iters,
+                                          compute_dtype=jnp.bfloat16)
+    dt_f16 = timed_calls(full16, params, img1, img2, reps=args.reps)
+    print(f"full solve bf16      {dt_f16*1e3:8.3f} ms  "
+          f"[{dt_f16/B*1e3:6.3f} ms/img]")
     acc = 2 * dt_f + dt_c + dt_p + dt_l + dt_u
     print(f"stage sum            {acc*1e3:8.3f} ms "
           f"(residual {max(dt_full-acc,0)*1e3:.3f} ms = upsample + scan glue)")
