@@ -80,18 +80,19 @@ def basic_encoder(p, x, kind):
 
 def build_corr_pyramid_raft1(fmap1, fmap2, num_levels: int):
     """Level-0 all-pairs volume, then avg_pool2d over the target dims
-    (corr.py:63-77)."""
+    (corr.py:63-77). Volume dtype follows the fmaps (fp32 accumulation
+    inside the matmul either way)."""
     B, h, w, C = fmap1.shape
     c = jnp.einsum("bnc,bmc->bnm", fmap1.reshape(B, h * w, C),
                    fmap2.reshape(B, h * w, C),
                    preferred_element_type=jnp.float32) / np.sqrt(C)
-    corr = c.reshape(B, h * w, h, w)
+    corr = c.astype(fmap1.dtype).reshape(B, h * w, h, w)
     pyramid = [corr]
     for _ in range(num_levels - 1):
         B2, N, hh, ww = pyramid[-1].shape
         x = pyramid[-1].reshape(B2 * N, hh, ww, 1)
-        x = jax.lax.reduce_window(x, 0.0, jax.lax.add, (1, 2, 2, 1),
-                                  (1, 2, 2, 1), "VALID") / 4.0
+        x = jax.lax.reduce_window(x, jnp.zeros((), x.dtype), jax.lax.add,
+                                  (1, 2, 2, 1), (1, 2, 2, 1), "VALID") / 4
         pyramid.append(x.reshape(B2, N, hh // 2, ww // 2))
     return pyramid
 
@@ -129,11 +130,19 @@ def upsample_flow(flow, mask):
 
 
 def raft1_forward(params, image1, image2, cfg: RAFT1Config = RAFT1Config(),
-                  iters: int | None = None):
-    """image1/2: (B, H, W, 3) in [0, 255]. Returns final flow (B, H, W, 2)."""
+                  iters: int | None = None, compute_dtype=jnp.float32):
+    """image1/2: (B, H, W, 3) in [0, 255]. Returns final flow (B, H, W, 2).
+
+    compute_dtype=bfloat16 runs the conv/GRU stacks and the correlation
+    volume at the MXU bf16 rate; positional state stays fp32 (coords, the
+    accumulated flow, the convex-upsample softmax, and all matmul
+    accumulators) — mirrors the reference's mixed_precision autocast
+    (third_party/RAFT/core/raft.py:101, cloud_opt_flow/optimizer.py:250).
+    """
     iters = cfg.iters if iters is None else iters
-    image1 = 2 * (image1 / 255.0) - 1.0
-    image2 = 2 * (image2 / 255.0) - 1.0
+    cd = compute_dtype
+    image1 = (2 * (image1 / 255.0) - 1.0).astype(cd)
+    image2 = (2 * (image2 / 255.0) - 1.0).astype(cd)
     image1, pads = pad_to_8(image1)
     image2, _ = pad_to_8(image2)
     B, H, W, _ = image1.shape
@@ -156,18 +165,20 @@ def raft1_forward(params, image1, image2, cfg: RAFT1Config = RAFT1Config(),
         coords1 = jax.lax.stop_gradient(grid + flow)
         corr = lookup_corr(pyramid, coords1, lk_cfg)
         motion = motion_encoder1(params["update_block"]["encoder"],
-                                 jax.lax.stop_gradient(flow), corr)
+                                 jax.lax.stop_gradient(flow).astype(cd),
+                                 corr.astype(cd))
         x = jnp.concatenate([inp, motion], -1)
         net2 = sep_conv_gru(params["update_block"]["gru"], net, x)
         fh = params["update_block"]["flow_head"]
         delta = conv(fh["conv2"], jax.nn.relu(conv(fh["conv1"], net2)))
         mk = params["update_block"]["mask"]
         mask = 0.25 * conv(mk["conv2"], jax.nn.relu(conv(mk["conv1"], net2)))
-        return (net2, jax.lax.stop_gradient(flow) + delta), mask
+        flow2 = jax.lax.stop_gradient(flow) + delta.astype(jnp.float32)
+        return (net2, flow2), mask
 
     (net, flow8), masks = jax.lax.scan(body, (net, jnp.zeros((B, h, w, 2))),
                                        None, length=iters)
-    flow_up = upsample_flow(flow8, masks[-1])
+    flow_up = upsample_flow(flow8, masks[-1].astype(jnp.float32))
     t, b, l, r = pads
     return flow_up[:, t:H - b, l:W - r]
 

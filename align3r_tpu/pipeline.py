@@ -144,17 +144,28 @@ def _save_png(arr, path):
 
 def compute_raft_flows(raft_params, imgs_01: np.ndarray, edges,
                        chunk: int = 12, iters: int = 20,
-                       raft_kind: str = "raft2"):
+                       raft_kind: str = "raft2", compute_dtype="auto"):
     """Bidirectional RAFT flow per edge (optimizer.py get_flow:118-154).
-    imgs_01: (n, H, W, 3) in [0, 1]. Returns flow_ij, flow_ji (E, H, W, 2)."""
+    imgs_01: (n, H, W, 3) in [0, 1]. Returns flow_ij, flow_ji (E, H, W, 2).
+
+    compute_dtype="auto" resolves to bfloat16 on TPU and float32 elsewhere —
+    the reference computes flow under torch.autocast(bfloat16) exactly when
+    on CUDA (cloud_opt_flow/optimizer.py:250-251), so the device-conditional
+    mixed precision IS the reference behaviour, not a deviation."""
+    if compute_dtype == "auto":
+        compute_dtype = (jnp.bfloat16
+                         if jax.default_backend() in ("tpu", "axon")
+                         else jnp.float32)
     if raft_kind == "raft1":
         from align3r_tpu.models.raft1 import raft1_forward, RAFT1Config
         _fwd = lambda a, b: raft1_forward(raft_params, a, b, RAFT1Config(),
-                                          iters=iters)
+                                          iters=iters,
+                                          compute_dtype=compute_dtype)
     else:
         from align3r_tpu.models.raft import raft_forward, SPRING_M
         _fwd = lambda a, b: raft_forward(raft_params, a, b, SPRING_M,
-                                         iters=iters)
+                                         iters=iters,
+                                         compute_dtype=compute_dtype)
     ei = np.array([e[0] for e in edges])
     ej = np.array([e[1] for e in edges])
     imgs255 = jnp.asarray(imgs_01 * 255.0, jnp.float32)

@@ -127,3 +127,21 @@ def test_raft1_forward_runs():
     flow = raft1_forward(params, img, img, cfg, iters=2)
     assert flow.shape == (1, 48, 64, 2)
     assert np.isfinite(np.asarray(flow)).all()
+
+
+def test_raft1_bf16_compute_close_to_fp32():
+    """compute_dtype=bfloat16 (the TPU default via the pipeline's
+    device-conditional autocast mirror) keeps flow close to fp32: positional
+    state stays fp32, so the error is conv-stack rounding only."""
+    cfg = RAFT1Config(iters=4)
+    params = convert_raft1_state_dict(_tiny_sd(cfg), cfg)
+    img1 = jax.random.uniform(jax.random.PRNGKey(1), (1, 48, 64, 3)) * 255
+    img2 = jax.random.uniform(jax.random.PRNGKey(2), (1, 48, 64, 3)) * 255
+    f32 = np.asarray(raft1_forward(params, img1, img2, cfg, iters=4))
+    f16 = np.asarray(raft1_forward(params, img1, img2, cfg, iters=4,
+                                   compute_dtype=jnp.bfloat16))
+    assert f16.dtype == np.float32
+    assert np.isfinite(f16).all()
+    scale = np.abs(f32).mean() + 1e-3
+    rel = np.abs(f16 - f32).mean() / scale
+    assert rel < 0.15, (rel, scale)
