@@ -66,6 +66,9 @@ def _attend_with_rope(q, k, v, qpos, kpos, rope_base, attn_impl: str):
     return attention(q, k, v, impl=attn_impl)
 
 
+_POS_OK_CACHE: dict = {}
+
+
 def _fused_pos_ok(pos) -> bool:
     """The fused sites use ONE shared position grid for every batch row and
     both streams (ops/fused_site.py takes a single (N, 2) grid).  Engine /
@@ -75,11 +78,26 @@ def _fused_pos_ok(pos) -> bool:
     external caller with heterogeneous per-row positions falls back to the
     unfused path instead of getting silently wrong RoPE.  Tracers (already
     inside jit) are accepted: every in-repo jit entry point builds the grid
-    with make_grid_positions."""
+    with make_grid_positions.
+
+    Cost control for eager callers: single-grid shapes pass on shape alone,
+    the device comparison reduces to ONE scalar pulled to the host (not the
+    full (B, N, 2) array — a per-call full-array sync costs ~30 ms over the
+    axon tunnel), and the verdict is cached per array identity so repeated
+    layers/calls on the same positions pay it once."""
     if isinstance(pos, jax.core.Tracer):
         return True
-    p = np.asarray(pos).reshape(-1, pos.shape[-2], pos.shape[-1])
-    return p.shape[0] == 1 or bool((p == p[:1]).all())
+    if pos.ndim == 2 or pos.shape[0] == 1:
+        return True
+    key = (id(pos), pos.shape, str(pos.dtype))
+    hit = _POS_OK_CACHE.get(key)
+    if hit is None:
+        p = pos.reshape(-1, pos.shape[-2], pos.shape[-1])
+        hit = bool(np.asarray(jnp.all(p == p[:1])))
+        if len(_POS_OK_CACHE) > 64:
+            _POS_OK_CACHE.clear()
+        _POS_OK_CACHE[key] = hit
+    return hit
 
 
 def apply_attention(p, x, pos, num_heads: int, rope_base: float | None = 100.0,

@@ -135,8 +135,10 @@ def build_corr_pyramid(fmap1, fmap2, cfg: RAFTConfig) -> List[jnp.ndarray]:
         B2, h2, w2, _ = f2.shape
         c = jnp.einsum("bnc,bmc->bnm", f1, f2.reshape(B, h2 * w2, C),
                        preferred_element_type=jnp.float32)
-        c = c.astype(fmap1.dtype)
-        pyramid.append(c.reshape(B, h1 * w1, h2, w2) / np.sqrt(C))
+        # divide BEFORE the cast: a numpy float64 scalar would silently
+        # promote a bf16 volume back to fp32
+        c = (c / np.sqrt(C)).astype(fmap1.dtype)
+        pyramid.append(c.reshape(B, h1 * w1, h2, w2))
         # F.interpolate(scale=0.5, bilinear, align_corners=False)
         f2 = nn.bilinear_resize(f2, max(h2 // 2, 1), max(w2 // 2, 1),
                                 align_corners=False)

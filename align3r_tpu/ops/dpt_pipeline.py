@@ -176,6 +176,10 @@ def _res_unit_kernel(H: int, W: int, TH: int, same_base: bool,
 def _res_unit_call(v, base, w, bias, *, same_base, interpret=False, th=None):
     B, H, W, C = v.shape
     TH = th or _pick_th(H, W, C, dtype_bytes=v.dtype.itemsize)
+    if H % TH != 0:
+        raise ValueError(
+            f"th={TH} must divide H={H}: the (B, H//th) grid would never "
+            f"write the last {H % TH} output rows (silent garbage)")
     SH = H // TH
     pad = [(0, 0), (P, P), (0, 0), (0, 0)]
     vp = jnp.pad(v, pad)

@@ -66,6 +66,14 @@ class EdgeMeta:
         return self.e2 // self.eb
 
 
+# Scoped-VMEM cap for the pallas_calls. The 16 MB Mosaic default is too
+# tight for the rb=8 fallback at the scene gate's n ~ 256 bound: the
+# backward keeps (n, 3, 8, 128) fp32 proj + d_proj blocks resident
+# (~3.1 MB each at n=256) and Mosaic double-buffers them, ~12.6 MB before
+# the streamed pred/w blocks and the (e2, 128) dpw accumulator.
+_VMEM_LIMIT = 48 * 1024 * 1024
+
+
 def choose_blocks(n: int, e2: int, la: int, vmem_budget: int = 9 * 2 ** 20):
     """Pick (rb, eb) so the resident proj + d_proj blocks fit VMEM.
 
@@ -220,7 +228,8 @@ def _fwd_call(meta: EdgeMeta, proj_p, pw34, pred_p, w_p, idx):
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((1, 1), jnp.float32),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary", "arbitrary")),
+            dimension_semantics=("arbitrary", "arbitrary"),
+            vmem_limit_bytes=_VMEM_LIMIT),
         cost_estimate=_cost(meta, pred_p.dtype.itemsize, 1),
         interpret=meta.interpret,
     )(idx, pw34.reshape(meta.e2, 12), proj_p, pred_p, w_p)
@@ -249,7 +258,8 @@ def _bwd_call(meta: EdgeMeta, g, proj_p, pw34, pred_p, w_p, idx):
             jax.ShapeDtypeStruct((meta.e2, 128), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary", "arbitrary")),
+            dimension_semantics=("arbitrary", "arbitrary"),
+            vmem_limit_bytes=_VMEM_LIMIT),
         cost_estimate=_cost(meta, pred_p.dtype.itemsize, 2),
         interpret=meta.interpret,
     )(idx, jnp.reshape(g, (1, 1)).astype(jnp.float32),

@@ -344,6 +344,11 @@ def mlp_site(x, w1, b1, w2, b2, ln=None, residual: bool = False,
     lnp = (jnp.stack(ln, axis=1).astype(jnp.float32) if ln
            else jnp.zeros((G, 2, C), jnp.float32))
     nf = mlp_fblocks(x, F)
+    if nf == 0:
+        raise ValueError(
+            f"fused MLP site does not fit VMEM at N={N}, C={C}, F={F} "
+            "(no F-block split passes the gate) — check mlp_supported() "
+            "before calling, or use the XLA path")
     if nf <= 1:
         return _mlp_call(x, w1, b1.astype(jnp.float32)[:, None, :],
                          w2, b2.astype(jnp.float32)[:, None, :], lnp,
@@ -499,6 +504,10 @@ def _mlp_xla(x, w1, b1, w2, b2, lnp, ln, residual):
 def _mlp_kernel_call(x, w1, b1, w2, b2, lnp, ln, residual):
     interpret = jax.default_backend() not in ("tpu", "axon")
     nf = mlp_fblocks(x, w1.shape[-1])
+    if nf == 0:
+        raise ValueError(
+            f"fused MLP site does not fit VMEM at x.shape={x.shape}, "
+            f"F={w1.shape[-1]} — check mlp_supported() before calling")
     args = (x, w1.astype(x.dtype), b1.astype(jnp.float32)[:, None, :],
             w2.astype(x.dtype), b2.astype(jnp.float32)[:, None, :], lnp)
     if nf <= 1:

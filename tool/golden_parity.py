@@ -37,17 +37,22 @@ if REPO not in sys.path:
 REF = "/root/reference"
 INF = float("inf")
 
+# reference_on_path scopes REF on sys.path and purges reference modules on
+# exit — the ONLY sanctioned way to touch /root/reference (its top-level
+# `tool` package shadows the repo's while it is on the path, so every
+# reference-touching section below runs inside the context and our own
+# `tool.*` imports happen before entering it)
+sys.path.insert(0, os.path.join(REPO, "tests"))
+from reference_import import reference_on_path  # noqa: E402
+
 
 def import_reference_model_class():
-    """Import the reference AsymmetricCroCo3DStereo for CPU use.
+    """Import the reference AsymmetricCroCo3DStereo for CPU use. Must be
+    called inside a reference_on_path() scope.
 
     The only CPU blocker is the hardcoded .cuda() on the zero convs
     (dust3r/model.py:96), monkeypatched to a no-op."""
     import torch
-    # APPEND the reference path: its top-level `tool` package would shadow
-    # the repo's (tool/metric.py) if inserted at the front
-    if REF not in sys.path:
-        sys.path.append(REF)
     torch.nn.Module.cuda = lambda self, *a, **k: self
     from dust3r.model import AsymmetricCroCo3DStereo
     return AsymmetricCroCo3DStereo
@@ -76,7 +81,8 @@ def write_selfcheck_checkpoint(path: str, H: int, W: int, seed: int = 0):
                         enc_depth=4, enc_num_heads=4, dec_embed_dim=48,
                         dec_depth=12, dec_num_heads=4)
     torch.manual_seed(seed)
-    net = build_reference_model(cfg)
+    with reference_on_path():
+        net = build_reference_model(cfg)
     # randomise the zero-init zero_convs so the prior branch is exercised,
     # and scale the final head convs (random-init DPT heads emit |xyz| big
     # enough to overflow expm1; trained checkpoints emit <= 10)
@@ -136,73 +142,77 @@ def run_parity(weights: str, n_frames: int = 4, verbose: bool = True):
     log(f"config: {cfg.enc_embed_dim}x{cfg.enc_depth} enc, "
         f"{cfg.dec_embed_dim}x{cfg.dec_depth} dec, img {H}x{W}")
 
-    net = build_reference_model(cfg)
-    ckpt = torch.load(weights, map_location="cpu", weights_only=False)
-    missing = net.load_state_dict(ckpt["model"], strict=False)
-    log(f"reference load_state_dict: {len(missing.missing_keys)} missing, "
-        f"{len(missing.unexpected_keys)} unexpected")
+    # the torch net's forwards run inside the loop below, so the reference
+    # stays on sys.path for the whole loop; reference_on_path restores the
+    # path and purges reference modules afterwards (nesting-safe)
+    with reference_on_path():
+        net = build_reference_model(cfg)
+        ckpt = torch.load(weights, map_location="cpu", weights_only=False)
+        missing = net.load_state_dict(ckpt["model"], strict=False)
+        log(f"reference load_state_dict: {len(missing.missing_keys)} missing, "
+            f"{len(missing.unexpected_keys)} unexpected")
 
-    imgs, priors = make_fixture(n_frames, H, W)
-    pairs = [(i, i + 1) for i in range(n_frames - 1)] + \
-            [(i + 1, i) for i in range(n_frames - 1)]
+        imgs, priors = make_fixture(n_frames, H, W)
+        pairs = [(i, i + 1) for i in range(n_frames - 1)] + \
+                [(i + 1, i) for i in range(n_frames - 1)]
 
-    # capture per-stage intermediates from the torch side via module hooks
-    captured = {"enc": [], "dec": []}
-    net.enc_norm.register_forward_hook(
-        lambda m, i, o: captured["enc"].append(o.detach()))
-    net.dec_norm.register_forward_hook(
-        lambda m, i, o: captured["dec"].append(o.detach()))
+        # capture per-stage intermediates from the torch side via module hooks
+        captured = {"enc": [], "dec": []}
+        net.enc_norm.register_forward_hook(
+            lambda m, i, o: captured["enc"].append(o.detach()))
+        net.dec_norm.register_forward_hook(
+            lambda m, i, o: captured["dec"].append(o.detach()))
 
-    # JAX stages (fp32, reference AMP boundary)
-    feats, pos = encode_images(params, jnp.asarray(imgs), cfg,
-                               dtype=jnp.float32)
-    pc_tok, _ = embed_point_cloud(params, jnp.asarray(priors), cfg,
-                                  dtype=jnp.float32)
-    grid = (H // cfg.patch_size, W // cfg.patch_size)
+        # JAX stages (fp32, reference AMP boundary)
+        feats, pos = encode_images(params, jnp.asarray(imgs), cfg,
+                                   dtype=jnp.float32)
+        pc_tok, _ = embed_point_cloud(params, jnp.asarray(priors), cfg,
+                                      dtype=jnp.float32)
+        grid = (H // cfg.patch_size, W // cfg.patch_size)
 
-    stage_diffs = {"encoder_tokens": 0.0, "decoder_tokens": 0.0,
-                   "pts3d": 0.0, "conf": 0.0}
-    z_jax, z_ref = [], []
-    for (i, j) in pairs:
-        t = lambda a: torch.from_numpy(np.asarray(a))
-        view1 = {"img": t(imgs[i][None]).permute(0, 3, 1, 2),
-                 "pred_depth": t(priors[i][None]), "instance": [f"a{i}"]}
-        view2 = {"img": t(imgs[j][None]).permute(0, 3, 1, 2),
-                 "pred_depth": t(priors[j][None]), "instance": [f"b{j}"]}
-        captured["enc"].clear()
-        captured["dec"].clear()
-        with torch.no_grad():
-            r1t, r2t = net(view1, view2)
-        # torch encodes both views in ONE batched enc_norm call
-        enc_t = captured["enc"][0]          # (2, N, D_enc)
-        dec_t = captured["dec"]             # [f1, f2] final decoder tokens
+        stage_diffs = {"encoder_tokens": 0.0, "decoder_tokens": 0.0,
+                       "pts3d": 0.0, "conf": 0.0}
+        z_jax, z_ref = [], []
+        for (i, j) in pairs:
+            t = lambda a: torch.from_numpy(np.asarray(a))
+            view1 = {"img": t(imgs[i][None]).permute(0, 3, 1, 2),
+                     "pred_depth": t(priors[i][None]), "instance": [f"a{i}"]}
+            view2 = {"img": t(imgs[j][None]).permute(0, 3, 1, 2),
+                     "pred_depth": t(priors[j][None]), "instance": [f"b{j}"]}
+            captured["enc"].clear()
+            captured["dec"].clear()
+            with torch.no_grad():
+                r1t, r2t = net(view1, view2)
+            # torch encodes both views in ONE batched enc_norm call
+            enc_t = captured["enc"][0]          # (2, N, D_enc)
+            dec_t = captured["dec"]             # [f1, f2] final decoder tokens
 
-        f1, f2 = feats[i][None], feats[j][None]
-        p1 = make_grid_positions(grid[0], grid[1], batch=1)
-        pc = jnp.concatenate([pc_tok[i][None], pc_tok[j][None]], axis=0)
-        pcp = make_grid_positions(grid[0], grid[1], batch=2)
-        hooks1, hooks2 = decode_pair(params, f1, p1, f2, p1, pc, pcp, cfg,
-                                     dtype=jnp.float32)
-        res1 = apply_dpt_head(params["head1"], hooks1, grid, (H, W),
-                              cfg.depth_mode, cfg.conf_mode)
-        res2 = apply_dpt_head(params["head2"], hooks2, grid, (H, W),
-                              cfg.depth_mode, cfg.conf_mode)
+            f1, f2 = feats[i][None], feats[j][None]
+            p1 = make_grid_positions(grid[0], grid[1], batch=1)
+            pc = jnp.concatenate([pc_tok[i][None], pc_tok[j][None]], axis=0)
+            pcp = make_grid_positions(grid[0], grid[1], batch=2)
+            hooks1, hooks2 = decode_pair(params, f1, p1, f2, p1, pc, pcp, cfg,
+                                         dtype=jnp.float32)
+            res1 = apply_dpt_head(params["head1"], hooks1, grid, (H, W),
+                                  cfg.depth_mode, cfg.conf_mode)
+            res2 = apply_dpt_head(params["head2"], hooks2, grid, (H, W),
+                                  cfg.depth_mode, cfg.conf_mode)
 
-        d = lambda a, b: float(np.abs(np.asarray(a) - b.numpy()).max())
-        stage_diffs["encoder_tokens"] = max(
-            stage_diffs["encoder_tokens"],
-            d(jnp.concatenate([f1, f2], axis=0), enc_t))
-        stage_diffs["decoder_tokens"] = max(
-            stage_diffs["decoder_tokens"],
-            d(hooks1[-1], dec_t[0]), d(hooks2[-1], dec_t[1]))
-        stage_diffs["pts3d"] = max(stage_diffs["pts3d"],
-                                   d(res1["pts3d"], r1t["pts3d"]),
-                                   d(res2["pts3d"], r2t["pts3d_in_other_view"]))
-        stage_diffs["conf"] = max(stage_diffs["conf"],
-                                  d(res1["conf"], r1t["conf"]),
-                                  d(res2["conf"], r2t["conf"]))
-        z_jax.append(np.asarray(res1["pts3d"])[0, ..., 2])
-        z_ref.append(r1t["pts3d"].numpy()[0, ..., 2])
+            d = lambda a, b: float(np.abs(np.asarray(a) - b.numpy()).max())
+            stage_diffs["encoder_tokens"] = max(
+                stage_diffs["encoder_tokens"],
+                d(jnp.concatenate([f1, f2], axis=0), enc_t))
+            stage_diffs["decoder_tokens"] = max(
+                stage_diffs["decoder_tokens"],
+                d(hooks1[-1], dec_t[0]), d(hooks2[-1], dec_t[1]))
+            stage_diffs["pts3d"] = max(stage_diffs["pts3d"],
+                                       d(res1["pts3d"], r1t["pts3d"]),
+                                       d(res2["pts3d"], r2t["pts3d_in_other_view"]))
+            stage_diffs["conf"] = max(stage_diffs["conf"],
+                                      d(res1["conf"], r1t["conf"]),
+                                      d(res2["conf"], r2t["conf"]))
+            z_jax.append(np.asarray(res1["pts3d"])[0, ..., 2])
+            z_ref.append(r1t["pts3d"].numpy()[0, ..., 2])
 
     log("\nper-stage max-abs diff over all pairs:")
     for k, v in stage_diffs.items():

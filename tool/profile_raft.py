@@ -77,8 +77,9 @@ def main():
     fmap1 = jax.jit(fnet)(params, img1p)
     fmap2 = jax.jit(fnet)(params, img2p)
 
-    # ---- corr pyramid build
-    pyr_fn = lambda a, b: build_corr_pyramid(a, b, cfg)[0]
+    # ---- corr pyramid build (sum ALL levels so none is DCE'd out of the
+    # jitted program — returning [0] alone drops the pooled levels)
+    pyr_fn = lambda a, b: [p.sum() for p in build_corr_pyramid(a, b, cfg)]
     dt_p = timed_calls(pyr_fn, fmap1, fmap2, reps=args.reps)
     n = h * w
     flops_p = 2 * B * n * n * fmap1.shape[-1]
