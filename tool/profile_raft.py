@@ -65,22 +65,41 @@ def main():
           f"batch={B} (grid {h}x{w}); per-img numbers in brackets")
 
     # ---- encoders (params passed as args, NOT closed over — closure
-    # arrays embed as program constants and distort standalone timings)
+    # arrays embed as program constants and distort standalone timings).
+    # Each stage is timed INSIDE a lax.scan of length --iters so the
+    # per-dispatch tunnel floor amortizes (a single-dispatch fnet at
+    # reps=10 read 54 ms where the whole 20-iter solve is 78 — the floor,
+    # not the convs); the carry folds a scalar of the stage output back
+    # into the input so XLA cannot CSE the repeated work.
+    def scanned_stage(step_fn, n):
+        def prog(p, x):
+            def body(c, _):
+                y = step_fn(p, c)
+                s = sum(jnp.sum(t) for t in jax.tree.leaves(y))
+                return c * (1.0 + 1e-20 * s.astype(c.dtype)), None
+            c, _ = jax.lax.scan(body, x, None, length=n)
+            return c
+        return prog
+
+    NS = args.iters
     fnet = lambda p, x: resnet_fpn(p["fnet"], x, cfg)
     cnet = lambda p, x: resnet_fpn(p["cnet"], jnp.concatenate([x, x], -1),
                                    cfg)
-    dt_f = timed_calls(fnet, params, img1p, reps=args.reps)
-    dt_c = timed_calls(cnet, params, img1p, reps=args.reps)
+    dt_f = timed_calls(scanned_stage(fnet, NS), params, img1p,
+                       reps=args.reps) / NS
+    dt_c = timed_calls(scanned_stage(cnet, NS), params, img1p,
+                       reps=args.reps) / NS
     print(f"fnet (x2 per pair)   {dt_f*1e3:8.3f} ms  [{dt_f/B*1e3:6.3f}]")
     print(f"cnet                 {dt_c*1e3:8.3f} ms  [{dt_c/B*1e3:6.3f}]")
 
     fmap1 = jax.jit(fnet)(params, img1p)
     fmap2 = jax.jit(fnet)(params, img2p)
 
-    # ---- corr pyramid build (sum ALL levels so none is DCE'd out of the
-    # jitted program — returning [0] alone drops the pooled levels)
-    pyr_fn = lambda a, b: [p.sum() for p in build_corr_pyramid(a, b, cfg)]
-    dt_p = timed_calls(pyr_fn, fmap1, fmap2, reps=args.reps)
+    # ---- corr pyramid build (all levels are outputs so none is DCE'd;
+    # fmap2 closed over, fmap1 is the perturbed carry)
+    pyr_fn = lambda p, a: build_corr_pyramid(a, fmap2, cfg)
+    dt_p = timed_calls(scanned_stage(pyr_fn, NS), params, fmap1,
+                       reps=args.reps) / NS
     n = h * w
     flops_p = 2 * B * n * n * fmap1.shape[-1]
     print(f"corr pyramid         {dt_p*1e3:8.3f} ms  [{dt_p/B*1e3:6.3f}]  "
