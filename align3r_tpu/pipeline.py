@@ -148,14 +148,15 @@ def compute_raft_flows(raft_params, imgs_01: np.ndarray, edges,
     """Bidirectional RAFT flow per edge (optimizer.py get_flow:118-154).
     imgs_01: (n, H, W, 3) in [0, 1]. Returns flow_ij, flow_ji (E, H, W, 2).
 
-    compute_dtype="auto" resolves to bfloat16 on TPU and float32 elsewhere —
-    the reference computes flow under torch.autocast(bfloat16) exactly when
-    on CUDA (cloud_opt_flow/optimizer.py:250-251), so the device-conditional
-    mixed precision IS the reference behaviour, not a deviation."""
+    compute_dtype mirrors the reference's torch.autocast(bfloat16) flow
+    compute (cloud_opt_flow/optimizer.py:250-251), but "auto" resolves to
+    float32 everywhere: on v5e the bf16 solve MEASURED 27% SLOWER than fp32
+    (98.3 vs 77.6 ms per 8-img 20-iter solve, tool/profile_raft.py) — the
+    one-hot corr-lookup einsums pay more in 16-bit relayouts/casts than the
+    MXU rate returns, and the conv stacks are only ~18% of the solve. bf16
+    remains available as an explicit knob for autocast-parity experiments."""
     if compute_dtype == "auto":
-        compute_dtype = (jnp.bfloat16
-                         if jax.default_backend() in ("tpu", "axon")
-                         else jnp.float32)
+        compute_dtype = jnp.float32
     if raft_kind == "raft1":
         from align3r_tpu.models.raft1 import raft1_forward, RAFT1Config
         _fwd = lambda a, b: raft1_forward(raft_params, a, b, RAFT1Config(),
