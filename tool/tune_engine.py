@@ -45,28 +45,31 @@ def main():
 
     if args.quick:
         grid = [
-            (8, "fused", jnp.bfloat16, False, "xla"),
-            (16, "fused", jnp.bfloat16, False, "xla"),
-            (16, "fused", jnp.bfloat16, False, "pipeline"),
-            (8, "fused", jnp.bfloat16, False, "pipeline"),
+            (8, "fused", jnp.bfloat16, False, "xla", 3),
+            (16, "fused", jnp.bfloat16, False, "xla", 1),
+            (16, "fused", jnp.bfloat16, False, "xla", 3),
+            (32, "fused", jnp.bfloat16, False, "xla", 3),
         ]
     else:
-        grid = list(itertools.product(
-            (8, 16), ("auto", "fused"), (jnp.bfloat16, jnp.float32),
-            (False,), ("xla", "pipeline"))) + [
-            (8, "fused", jnp.bfloat16, True, "xla"),
-            (16, "fused", jnp.bfloat16, True, "xla")]
+        grid = [g + (3,) for g in itertools.product(
+            (8, 16, 32), ("auto", "fused"), (jnp.bfloat16, jnp.float32),
+            (False,), ("xla", "pipeline"))] + [
+            (16, "fused", jnp.bfloat16, False, "xla", 1),
+            (16, "fused", jnp.bfloat16, False, "xla", 6),
+            (8, "fused", jnp.bfloat16, True, "xla", 3),
+            (16, "fused", jnp.bfloat16, True, "xla", 3)]
 
     results = []
-    for bs, attn, hd, sh, hci in grid:
+    for bs, attn, hd, sh, hci, unroll in grid:
         label = (f"bs={bs:2d} attn={attn:5s} heads="
-                 f"{np.dtype(hd).name:8s} stacked={int(sh)} conv={hci}")
+                 f"{np.dtype(hd).name:8s} stacked={int(sh)} conv={hci} "
+                 f"u={unroll}")
         try:
             def run():
                 out = inference(pairs, params, cfg, imgs, priors,
                                 batch_size=bs, head_dtype=hd,
                                 attn_impl=attn, stacked_heads=sh,
-                                head_conv_impl=hci)
+                                head_conv_impl=hci, unroll=unroll)
                 np.asarray(jnp.sum(out["pred1"]["pts3d"])
                            + jnp.sum(out["pred2"]["conf"]))
 
