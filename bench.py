@@ -23,7 +23,9 @@ A100_REFERENCE_PAIRS_PER_SEC = 8.0  # documented estimate, see module docstring
 
 N_FRAMES = 24
 H, W = 288, 512
-BATCH = 16  # engine sweep winner (tool/tune_engine.py): bs=16 + fused sites
+BATCH = 32  # engine sweep winner (tool/tune_engine.py r3: bs=32 + fused
+            # sites + unroll=3 = 136.9 vs bs=16's 135.1 pairs/s same-run)
+DEC_BATCH = 16  # decode-stage probe batch (bounded by the 16 encoded imgs)
 
 
 def main():
@@ -75,21 +77,21 @@ def main():
         acc = s if acc is None else acc + s
     np.asarray(acc)
     enc_ms_img = (time.perf_counter() - t0) / 4 / 16 * 1e3
-    f1 = f[:BATCH]
+    f1 = f[:DEC_BATCH]
     impl = "fused" if jax.default_backend() in ("tpu", "axon") else "auto"
-    r1, r2 = _decode_batch_jit(sparams, f1, f1, pc[:BATCH], pc[:BATCH], cfg,
-                               (H, W), jnp.bfloat16, jnp.bfloat16, impl)
+    r1, r2 = _decode_batch_jit(sparams, f1, f1, pc[:DEC_BATCH], pc[:DEC_BATCH],
+                               cfg, (H, W), jnp.bfloat16, jnp.bfloat16, impl)
     np.asarray(jnp.sum(r1["pts3d"]))
     t0 = time.perf_counter()
     acc = None
     for _ in range(10):
-        r1, r2 = _decode_batch_jit(sparams, f1, f1, pc[:BATCH], pc[:BATCH],
-                                   cfg, (H, W), jnp.bfloat16, jnp.bfloat16,
-                                   impl)
+        r1, r2 = _decode_batch_jit(sparams, f1, f1, pc[:DEC_BATCH],
+                                   pc[:DEC_BATCH], cfg, (H, W), jnp.bfloat16,
+                                   jnp.bfloat16, impl)
         s = jnp.sum(r1["pts3d"])
         acc = s if acc is None else acc + s
     np.asarray(acc)
-    dec_ms_pair = (time.perf_counter() - t0) / 10 / BATCH * 1e3
+    dec_ms_pair = (time.perf_counter() - t0) / 10 / DEC_BATCH * 1e3
 
     align_ips = _bench_alignment()
     raft_ms = _bench_raft()
