@@ -8,15 +8,17 @@ run, or an eval sweep bucket) share one compiled program and fill the chip.
 """
 from __future__ import annotations
 
+import dataclasses
 import functools
 from typing import Dict, List, Sequence
 
 import jax
 import jax.numpy as jnp
 import numpy as np
-import optax
 
-from align3r_tpu.alignment.scene import SceneConfig, SceneData, pairwise_pts_loss
+from align3r_tpu.alignment.scene import (SceneConfig, SceneData,
+                                         pairwise_pts_loss, pack_scene,
+                                         resolve_fast_impl, solve_scan_body)
 from align3r_tpu.alignment.schedules import schedule_array
 
 
@@ -29,28 +31,21 @@ def stack_params(params_list: Sequence[Dict]) -> Dict:
     return jax.tree.map(lambda *xs: jnp.stack(xs), *params_list)
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "loss_fn"))
+@functools.partial(jax.jit, static_argnames=("cfg", "loss_fn", "step0"))
 def _batched_scan(params_s, masks_s, data_s, lrs, cfg: SceneConfig,
-                  loss_fn=pairwise_pts_loss):
-    adam = optax.scale_by_adam(b1=0.9, b2=0.9)
+                  loss_fn=pairwise_pts_loss, step0: int = 0,
+                  opt_state_s=None):
+    """vmap of scene.solve_scan_body — the single shared Adam step body.
+    step0/opt_state_s thread the global iteration count and the per-scene
+    Adam moments across precision phases (step-gated loss terms like
+    flow_forward's flow-loss epoch must see global steps)."""
+    def solve_one(params, masks, data, opt_state):
+        return solve_scan_body(params, masks, data, lrs, cfg, loss_fn,
+                               step0, opt_state)
 
-    def solve_one(params, masks, data):
-        st = adam.init(params)
-
-        def step(carry, lr_i):
-            p, st = carry
-            lr, i = lr_i
-            loss, grads = jax.value_and_grad(loss_fn)(p, data, cfg, i)
-            grads = jax.tree.map(lambda g, m: g * m, grads, masks)
-            updates, st2 = adam.update(grads, st)
-            updates = jax.tree.map(lambda u: -lr * u, updates)
-            return (optax.apply_updates(p, updates), st2), loss
-
-        steps = jnp.arange(lrs.shape[0])
-        (p, _), losses = jax.lax.scan(step, (params, st), (lrs, steps))
-        return p, losses
-
-    return jax.vmap(solve_one, in_axes=(0, 0, 0))(params_s, masks_s, data_s)
+    st_axis = None if opt_state_s is None else 0
+    return jax.vmap(solve_one, in_axes=(0, 0, 0, st_axis))(
+        params_s, masks_s, data_s, opt_state_s)
 
 
 def batched_alignment(params_list, masks_list, datas, cfg: SceneConfig,
@@ -59,12 +54,15 @@ def batched_alignment(params_list, masks_list, datas, cfg: SceneConfig,
                       loss_fn=pairwise_pts_loss, precision: str = "mixed"):
     """Solve S same-shape scenes in one vmapped program.
 
-    precision as in scene.global_alignment_loop ('mixed' = bf16 then fp32).
-    Returns (list of solved params dicts, losses (S, niter))."""
-    import dataclasses
-    from align3r_tpu.alignment.scene import pack_scene, resolve_fast_impl
-    if (resolve_fast_impl(cfg) == "fused" and precision != "fp32"
-            and datas[0].packed_pred is None):
+    precision as in scene.global_alignment_loop ('mixed' = bf16 then an
+    fp32 polish continuing the same Adam moments and step index; on the
+    fused path the polish runs the kernel on fp32-repacked observations,
+    mirroring the single-scene loop). Returns (list of solved params
+    dicts, losses (S, niter))."""
+    if precision not in ("mixed", "bf16", "fp32"):
+        raise ValueError(precision)
+    fused = resolve_fast_impl(cfg) == "fused"
+    if fused and precision != "fp32" and datas[0].packed_pred is None:
         # one-time packing so the vmapped fast phase uses the fused Pallas
         # edge kernel (its vmap batching rule adds a scene grid dimension)
         datas = [pack_scene(d, cfg) for d in datas]
@@ -75,12 +73,21 @@ def batched_alignment(params_list, masks_list, datas, cfg: SceneConfig,
     k = int(niter * 0.8) if precision == "mixed" else \
         (niter if precision == "bf16" else 0)
     fast_cfg = dataclasses.replace(cfg, fast_solve=True)
+    st_s = None
     if 0 < k:
-        params_s, l1 = _batched_scan(params_s, masks_s, data_s, lrs[:k],
-                                     fast_cfg, loss_fn)
+        params_s, l1, st_s = _batched_scan(params_s, masks_s, data_s,
+                                           lrs[:k], fast_cfg, loss_fn)
     if k < niter:
-        params_s, l2 = _batched_scan(params_s, masks_s, data_s, lrs[k:],
-                                     cfg, loss_fn)
+        if fused and 0 < k:
+            # fp32 polish stays in-kernel on fp32-repacked observations
+            data_s = stack_scenes([pack_scene(d, cfg, dtype=jnp.float32)
+                                   for d in datas])
+            polish_cfg = fast_cfg
+        else:
+            polish_cfg = cfg
+        params_s, l2, _ = _batched_scan(params_s, masks_s, data_s, lrs[k:],
+                                        polish_cfg, loss_fn, step0=k,
+                                        opt_state_s=st_s)
     losses = l2 if k == 0 else (l1 if k == niter else
                                 jnp.concatenate([l1, l2], axis=1))
     out_params = params_s

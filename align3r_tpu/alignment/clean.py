@@ -30,8 +30,11 @@ def clean_pointcloud(im_confs, K, cams_world2cam, depthmaps, all_pts3d,
     n, H, W = im_confs.shape
     res = im_confs
 
-    def project_into(j, pts_i, conf_i, res_conf_i):
-        """How view j's geometry suppresses view i's confidences."""
+    def project_into(j, pts_i, res, res_conf_i):
+        """How view j's geometry suppresses view i's confidences. Both
+        comparison sides read the EVOLVING res (reference base_opt.py:496
+        compares res[i] < res[j], so suppression cascades through views
+        already clamped earlier in the sweep)."""
         proj = geotrf(cams_world2cam[j], pts_i)              # (H, W, 3) in cam j
         z = proj[..., 2]
         uvw = jnp.einsum("ab,hwb->hwa", K[j], proj)
@@ -43,7 +46,7 @@ def clean_pointcloud(im_confs, K, cams_world2cam, depthmaps, all_pts3d,
         uc = jnp.clip(ui, 0, W - 1)
         vc = jnp.clip(vi, 0, H - 1)
         depth_j = depthmaps[j][vc, uc]
-        conf_j = im_confs[j][vc, uc]
+        conf_j = res[j][vc, uc]
         bad = msk & (z < (1 - tol) * depth_j) & (res_conf_i < conf_j)
         return jnp.where(bad, jnp.minimum(res_conf_i, bad_conf), res_conf_i)
 
@@ -51,7 +54,7 @@ def clean_pointcloud(im_confs, K, cams_world2cam, depthmaps, all_pts3d,
         conf_i = res[i]
         def body(j, c):
             return jnp.where(j == i, c, project_into(j, all_pts3d[i],
-                                                     im_confs[i], c))
+                                                     res, c))
         conf_i = jax.lax.fori_loop(0, n, body, conf_i)
         return res.at[i].set(conf_i)
 

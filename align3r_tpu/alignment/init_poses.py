@@ -172,11 +172,13 @@ def mst_init(params: Dict, data: SceneData, cfg: SceneConfig,
     if init_priors is None:
         score, i, j = todo.pop()
     else:
-        while todo:
-            score, i, j = todo.pop()
-            if i == 0 or j == 0:
-                break
-            todo.insert(0, (score, i, j))
+        # best edge touching frame 0; if none exists (frame 0 isolated from
+        # the MST), fall back to the globally best edge instead of spinning
+        # on the rotate-and-retry loop forever
+        root_idx = next((idx for idx in range(len(todo) - 1, -1, -1)
+                         if todo[idx][1] == 0 or todo[idx][2] == 0),
+                        len(todo) - 1)
+        score, i, j = todo.pop(root_idx)
     k = edge_idx[(i, j)]
     pts3d[i] = pred_i[k].copy()
     pts3d[j] = pred_j[k].copy()
@@ -201,10 +203,31 @@ def mst_init(params: Dict, data: SceneData, cfg: SceneConfig,
             else:
                 pts3d[j] = np.asarray(geotrf(jnp.asarray(keypose), jnp.asarray(pts3d[j])))
 
-    # greedy propagation over remaining MST edges (init_im_poses.py:190-230)
+    # greedy propagation over remaining MST edges (init_im_poses.py:190-230).
+    # `stall` counts consecutive re-inserted edges: scipy returns a spanning
+    # FOREST for a disconnected pairwise graph, and an unreachable
+    # component's edges would otherwise rotate through the list forever —
+    # after a full fruitless rotation we seed that component's best edge as
+    # a fresh local root (identity pose) and keep propagating.
+    stall = 0
     while todo:
         score, i, j = todo.pop()
         k = edge_idx[(i, j)]
+        if i not in done and j not in done:
+            todo.insert(0, (score, i, j))
+            stall += 1
+            if stall > len(todo):
+                score, i, j = todo.pop()
+                k = edge_idx[(i, j)]
+                pts3d[i] = pred_i[k].copy()
+                pts3d[j] = pred_j[k].copy()
+                im_poses[i] = np.eye(4, dtype=np.float32)
+                if im_focals[i] is None:
+                    im_focals[i] = estimate_focal_weiszfeld(pred_i[k])
+                done.update((i, j))
+                stall = 0
+            continue
+        stall = 0
         if im_focals[i] is None:
             im_focals[i] = estimate_focal_weiszfeld(pred_i[k])
         if i in done:
@@ -227,8 +250,6 @@ def mst_init(params: Dict, data: SceneData, cfg: SceneConfig,
             done.add(i)
             if im_poses[i] is None:
                 im_poses[i] = _srt_to_4x4(1.0, R, t)
-        else:
-            todo.insert(0, (score, i, j))
 
     # leftover focals from best incident edge; leftover poses via PnP
     order = np.argsort([-s for s in scores])

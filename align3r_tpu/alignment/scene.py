@@ -307,7 +307,7 @@ def _edge_meta(cfg: SceneConfig, n_imgs=None):
     la0 = -(-A // 128)
     e2 = 2 * cfg.n_edges
     n = n_imgs or cfg.n_imgs
-    rb, eb = el.choose_blocks(n, e2, la0)
+    rb, eb = el.choose_blocks(n)
     la = -(-la0 // rb) * rb
     e2 = -(-e2 // eb) * eb
     import jax as _jax
@@ -383,11 +383,17 @@ def resolve_fast_impl(cfg: SceneConfig) -> str:
 
 # --------------------------------------------------------------- the loop
 
-@functools.partial(jax.jit, static_argnames=("cfg", "loss_fn"))
-def _alignment_scan(params, masks, data: SceneData, lrs, cfg: SceneConfig,
-                    loss_fn=pairwise_pts_loss):
+def solve_scan_body(params, masks, data: SceneData, lrs, cfg: SceneConfig,
+                    loss_fn=pairwise_pts_loss, step0=0, opt_state=None):
+    """Un-jitted Adam scan — the ONE copy of the optimizer step (also
+    vmapped by batched._batched_scan). step0 offsets the step index passed
+    to loss_fn so step-gated terms (flow_forward's flow-loss start epoch)
+    see the global iteration count when the solve runs in phases;
+    opt_state=None initialises fresh Adam moments, else continues them.
+    Returns (params, losses, opt_state)."""
     adam = optax.scale_by_adam(b1=0.9, b2=0.9)   # Adam betas (0.9, 0.9), base_opt.py:437
-    opt_state = adam.init(params)
+    if opt_state is None:
+        opt_state = adam.init(params)
 
     def step(carry, lr_i):
         p, st = carry
@@ -399,9 +405,17 @@ def _alignment_scan(params, masks, data: SceneData, lrs, cfg: SceneConfig,
         p = optax.apply_updates(p, updates)
         return (p, st), loss
 
-    steps = jnp.arange(lrs.shape[0])
-    (params, _), losses = jax.lax.scan(step, (params, opt_state), (lrs, steps))
-    return params, losses
+    steps = step0 + jnp.arange(lrs.shape[0])
+    (params, opt_state), losses = jax.lax.scan(step, (params, opt_state),
+                                               (lrs, steps))
+    return params, losses, opt_state
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "loss_fn"))
+def _alignment_scan(params, masks, data: SceneData, lrs, cfg: SceneConfig,
+                    loss_fn=pairwise_pts_loss, step0=0, opt_state=None):
+    return solve_scan_body(params, masks, data, lrs, cfg, loss_fn,
+                           step0, opt_state)
 
 
 def global_alignment_loop(params, masks, data: SceneData, cfg: SceneConfig,
@@ -412,35 +426,46 @@ def global_alignment_loop(params, masks, data: SceneData, cfg: SceneConfig,
     """Run the full Adam solve on device. Returns (params, losses (niter,)).
 
     precision: 'mixed' (default) runs the first 80% of iterations with the
-    bf16 fast pairwise term and polishes the rest in fp32 — on the fused
-    kernel path the polish repacks the frozen observations in fp32 and stays
-    in-kernel (fp32 arithmetic throughout, so it is fp32-exact up to
-    reduction order) instead of falling back to the slow XLA gather path;
-    'bf16' runs everything fast; 'fp32' is the reference-exact path.
+    bf16 fast pairwise term and polishes the rest in fp32 — the polish
+    continues the SAME Adam moments and step index (step-gated terms like
+    flow_forward's flow-loss epoch see the global iteration count). On the
+    fused kernel path the polish repacks the frozen observations in fp32
+    and stays in-kernel (fp32 arithmetic throughout, so it is fp32-exact up
+    to reduction order) instead of falling back to the slow XLA gather
+    path; 'bf16' runs everything fast; 'fp32' is the reference-exact path
+    (it overrides cfg.fast_solve).
     """
+    if precision not in ("mixed", "bf16", "fp32"):
+        raise ValueError(precision)
     lrs = jnp.asarray(schedule_array(schedule, niter, lr, lr_min))
-    if precision == "fp32" or cfg.fast_solve:
-        return _alignment_scan(params, masks, data, lrs, cfg, loss_fn)
-    fast_cfg = dataclasses.replace(cfg, fast_solve=True)
     fused = resolve_fast_impl(cfg) == "fused"
+    if precision == "fp32":
+        exact_cfg = (dataclasses.replace(cfg, fast_solve=False)
+                     if cfg.fast_solve else cfg)
+        p, losses, _ = _alignment_scan(params, masks, data, lrs, exact_cfg,
+                                       loss_fn)
+        return p, losses
+    fast_cfg = dataclasses.replace(cfg, fast_solve=True)
     if fused and data.packed_pred is None:
         data = pack_scene(data, cfg)  # one-time; used by the pairwise term
-    if precision == "bf16":
-        return _alignment_scan(params, masks, data, lrs, fast_cfg, loss_fn)
-    if precision != "mixed":
-        raise ValueError(precision)
+    if precision == "bf16" or cfg.fast_solve:
+        p, losses, _ = _alignment_scan(params, masks, data, lrs, fast_cfg,
+                                       loss_fn)
+        return p, losses
     k = int(niter * 0.8)
     if k == 0 or k == niter:
-        return _alignment_scan(params, masks, data, lrs, cfg, loss_fn)
-    params, l1 = _alignment_scan(params, masks, data, lrs[:k], fast_cfg,
-                                 loss_fn)
+        p, losses, _ = _alignment_scan(params, masks, data, lrs, cfg, loss_fn)
+        return p, losses
+    params, l1, st = _alignment_scan(params, masks, data, lrs[:k], fast_cfg,
+                                     loss_fn)
     if fused:
         data = pack_scene(data, cfg, dtype=jnp.float32)
-        params, l2 = _alignment_scan(params, masks, data, lrs[k:], fast_cfg,
-                                     loss_fn)
+        params, l2, _ = _alignment_scan(params, masks, data, lrs[k:],
+                                        fast_cfg, loss_fn, step0=k,
+                                        opt_state=st)
     else:
-        params, l2 = _alignment_scan(params, masks, data, lrs[k:], cfg,
-                                     loss_fn)
+        params, l2, _ = _alignment_scan(params, masks, data, lrs[k:], cfg,
+                                        loss_fn, step0=k, opt_state=st)
     return params, jnp.concatenate([l1, l2])
 
 

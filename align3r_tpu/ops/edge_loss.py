@@ -74,11 +74,13 @@ class EdgeMeta:
 _VMEM_LIMIT = 48 * 1024 * 1024
 
 
-def choose_blocks(n: int, e2: int, la: int, vmem_budget: int = 9 * 2 ** 20):
+def choose_blocks(n: int, vmem_budget: int = 9 * 2 ** 20):
     """Pick (rb, eb) so the resident proj + d_proj blocks fit VMEM.
 
-    Backward VMEM ~= 2 buffers * n*3*rb*128 * (4 + 4) bytes (fp32 proj +
-    fp32 accumulator) + streamed pred/w blocks (eb * 4 * rb * 128 * dt).
+    Only `n` matters: the resident set is the (n, 3, rb, 128) proj +
+    d_proj blocks; the streamed pred/w blocks scale with eb (fixed at 8)
+    and are small. Backward VMEM ~= 2 buffers * n*3*rb*128 * (4 + 4)
+    bytes (fp32 proj + fp32 accumulator) + streamed blocks.
     """
     eb = 8
     # prefer tall row blocks; fall back to rb=8 for image-heavy scenes so

@@ -469,6 +469,8 @@ def attention_site_diff(xq, xkv, wq, wk, wv, wo, bq, bk, bv, bo, pos,
     """Differentiable fused site: Pallas kernel forward, XLA-recompute
     backward. Same contract as attention_site."""
     G, B, Nq, C = xq.shape
+    assert Nq == xkv.shape[2], \
+        "fused site requires equal q/kv sequence lengths"
     D = C // num_heads
     if rope_base is not None:
         cos, sin = _rope_tables(pos, D, rope_base, xq.dtype)

@@ -80,6 +80,11 @@ def _call(q, k, v, group: int, interpret: bool, unroll: bool = True):
         in_specs=[blk(Nq), blk(Nk), blk(Nk)],
         out_specs=blk(Nq),
         out_shape=jax.ShapeDtypeStruct((BH, Nq, D), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            # the unrolled g-loop can keep `group` fp32 logits+exp buffers
+            # live at once — near-gate shapes exceed the 16 MB scoped default
+            vmem_limit_bytes=64 * 1024 * 1024,
+        ),
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
             flops=2 * 2 * BH * Nq * Nk * D,
@@ -94,11 +99,15 @@ def supported(q, k, v) -> bool:
     VMEM, bf16-aligned sublanes."""
     B, H, Nq, D = q.shape
     Nk = k.shape[2]
-    vmem = 4 * (Nq + 3 * Nk) * D * q.dtype.itemsize + 8 * Nq * Nk  # G=4, fp32 logits+exp
+    # double-buffered (group=4) q/k/v/out blocks + up to 4 live fp32
+    # logits+exp pairs (the g loop is unrolled); gate well under the 64 MB
+    # vmem_limit the pallas_call sets
+    vmem = (2 * 4 * 2 * (Nq + Nk) * D * q.dtype.itemsize
+            + 4 * 8 * Nq * Nk)
     return (Nq % 16 == 0 and Nk % 16 == 0 and D <= 128 and D % 8 == 0
             and q.dtype == k.dtype == v.dtype
             and Nq * Nk >= 128 * 128          # tiny shapes: XLA wins
-            and vmem < 12 * 1024 * 1024)
+            and vmem < 32 * 1024 * 1024)
 
 
 def small_attention(q, k, v, group: int = 4, interpret: bool | None = None,

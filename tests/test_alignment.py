@@ -196,3 +196,62 @@ def test_batched_alignment_matches_sequential():
                                              schedule="cosine")
         np.testing.assert_allclose(losses[k], np.asarray(l_seq), rtol=2e-4,
                                    atol=1e-5)
+
+
+def test_alignment_scan_step_offset_and_state_threading():
+    """Phase 2 of a mixed-precision solve must see GLOBAL step indices
+    (flow_forward's flow-loss gate is step-driven) and continue the same
+    Adam moments — a restarted counter silently disabled the flow term for
+    most of the fp32 polish (code-review r3 finding #1)."""
+    from align3r_tpu.alignment.scene import _alignment_scan
+    depths, poses = synth_scene(3)
+    edges = sym_edges(3)
+    cfg, data, params = build_scene(make_output(depths, poses, edges))
+    masks = {k: jnp.ones_like(v) for k, v in params.items()}
+    lrs = jnp.full((10,), 1e-3)
+
+    def spy_loss(p, data, cfg, step):
+        # zero-gradient loss that records the step index it was given
+        return jnp.sum(p["im_poses"]) * 0.0 + step * 1.0
+
+    p1, l1, st = _alignment_scan(params, masks, data, lrs[:6], cfg, spy_loss)
+    p2, l2, _ = _alignment_scan(p1, masks, data, lrs[6:], cfg, spy_loss,
+                                step0=6, opt_state=st)
+    np.testing.assert_array_equal(np.asarray(jnp.concatenate([l1, l2])),
+                                  np.arange(10, dtype=np.float32))
+
+
+def test_batched_alignment_rejects_unknown_precision():
+    from align3r_tpu.alignment.batched import batched_alignment
+    depths, poses = synth_scene(3)
+    edges = sym_edges(3)
+    cfg, data, params = build_scene(make_output(depths, poses, edges))
+    masks = {k: jnp.ones_like(v) for k, v in params.items()}
+    with pytest.raises(ValueError):
+        batched_alignment([params], [masks], [data], cfg, niter=4,
+                          precision="Mixed")
+
+
+def test_mst_init_disconnected_graph_terminates():
+    """scipy returns a spanning FOREST for a disconnected pairwise graph;
+    the MST walk must seed each component instead of spinning forever
+    (code-review r3 finding #3). Each component gets its own gauge, so we
+    only assert termination + every view placed."""
+    depths, poses = synth_scene(6)
+    # two components: {0,1,2} and {3,4,5} — no cross edges
+    edges = [(i, j) for i in range(3) for j in range(3) if i != j] + \
+            [(i, j) for i in range(3, 6) for j in range(3, 6) if i != j]
+    out = make_output(depths, poses, edges)
+    cfg, data, params = build_scene(out)
+    params = mst_init(params, data, cfg,
+                      np.asarray(out["pred1"]["conf"]),
+                      np.asarray(out["pred2"]["conf"]))
+    P = np.asarray(get_im_poses(params))
+    assert P.shape == (6, 4, 4) and np.isfinite(P).all()
+    # within-component relative poses still recovered (component 2)
+    rel_est = np.linalg.inv(P[3]) @ P[5]
+    rel_gt = np.linalg.inv(poses[3]) @ poses[5]
+    # allow scale gauge per component: compare rotations
+    from scipy.spatial.transform import Rotation as R
+    ang = R.from_matrix(rel_est[:3, :3] @ rel_gt[:3, :3].T).magnitude()
+    assert ang < 0.05, ang

@@ -95,3 +95,50 @@ def test_html_viewer_export(tmp_path):
     b64 = re.search(r'PTS_B64 = "([^"]*)"', html).group(1)
     pts_dec = np.frombuffer(base64.b64decode(b64), np.float32)
     assert pts_dec.size == 100 * 3 and np.isfinite(pts_dec).all()
+
+
+def test_clean_pointcloud_matches_reference_oracle():
+    """Bit-for-bit semantics vs the REAL reference clean_pointcloud
+    (base_opt.py:468-503, pure torch, runs on CPU) on a random multi-view
+    scene with real occlusion structure — in particular the progressive
+    `res[j]` comparison (suppression cascades through already-clamped
+    views; code-review r3 finding #2)."""
+    import sys, os
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from reference_import import reference_on_path, install_reference_dep_stubs
+    install_reference_dep_stubs()
+
+    rng = np.random.default_rng(0)
+    n, H, W = 4, 12, 16
+    f = 18.0
+    K = np.broadcast_to(
+        np.array([[f, 0, W / 2], [0, f, H / 2], [0, 0, 1]], np.float32),
+        (n, 3, 3)).copy()
+    # small random camera perturbations around identity
+    cams = np.broadcast_to(np.eye(4, dtype=np.float32), (n, 4, 4)).copy()
+    for i in range(1, n):
+        cams[i, :3, 3] = rng.normal(0, 0.05, 3)
+    ys, xs = np.meshgrid(np.arange(H), np.arange(W), indexing="ij")
+    depth = (4.0 + rng.normal(0, 0.6, (n, H, W))).astype(np.float32)
+    pts = np.stack([
+        np.stack([(xs - W / 2) * d / f, (ys - H / 2) * d / f, d], -1)
+        for d in depth]).astype(np.float32)   # cam-frame; world via inv(I)=I
+    conf = (1.0 + 8.0 * rng.random((n, H, W))).astype(np.float32)
+
+    ours = np.asarray(clean_pointcloud(
+        jnp.asarray(conf), jnp.asarray(K), jnp.asarray(cams),
+        jnp.asarray(depth), jnp.asarray(pts), tol=0.05, bad_conf=0.0))
+
+    with reference_on_path():
+        import torch
+        from dust3r.cloud_opt.base_opt import clean_pointcloud as ref_clean
+        res = ref_clean([torch.from_numpy(conf[i]) for i in range(n)],
+                        torch.from_numpy(K),
+                        torch.from_numpy(cams),
+                        [torch.from_numpy(depth[i].reshape(-1)) for i in range(n)],
+                        [torch.from_numpy(pts[i].reshape(-1, 3)) for i in range(n)],
+                        tol=0.05, bad_conf=0.0)
+        ref = np.stack([r.numpy() for r in res])
+
+    assert (ours != conf).any(), "fixture produced no suppression"
+    np.testing.assert_array_equal(ours, ref)

@@ -171,8 +171,7 @@ def test_fused_rb8_large_scene_matches_fp32():
     # sliding-window graph keeps E small while n is large
     cfg, data, params = _synthetic_scene(n=150, H=8, W=16, graph="swin-1")
     assert resolve_fast_impl(dc.replace(cfg, fast_impl="fused")) == "fused"
-    rb, eb = el.choose_blocks(cfg.n_imgs, 2 * cfg.n_edges,
-                              -(-cfg.imshape[0] * cfg.imshape[1] // 128))
+    rb, eb = el.choose_blocks(cfg.n_imgs)
     assert rb == 8, rb
     data_p = pack_scene(data, cfg, dtype=jnp.float32)
     ref = float(pairwise_pts_loss(params, data, cfg))
