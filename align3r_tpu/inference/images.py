@@ -135,7 +135,11 @@ def load_images(folder_or_list, size: int, square_ok=False, verbose=False,
     """Load a folder / list of frames (or a video file) into per-frame dicts:
     {'img' (1,H,W,3) in [-1,1], 'pred_depth' (1,H,W,3), 'true_shape',
     'idx', 'instance', 'dynamic_mask' (1,H,W)}. Mirrors reference
-    load_images (image_pose.py:246-407)."""
+    load_images (image_pose.py:246-407). `interval` caps both the folder
+    slice and the number of fps-strided video frames (image_pose.py:
+    365-367); the library default is unlimited (documented deviation —
+    the reference defaults to 30, and tool/demo.py keeps that default at
+    the CLI so the demo flows match)."""
     if isinstance(folder_or_list, str):
         if os.path.isdir(folder_or_list):
             root = folder_or_list
@@ -183,10 +187,13 @@ def load_images(folder_or_list, size: int, square_ok=False, verbose=False,
             cap = cv2.VideoCapture(full)
             video_fps = cap.get(cv2.CAP_PROP_FPS) or 30
             step = max(int(round(video_fps / fps)), 1) if fps > 0 else 1
-            k = 0
+            # the reference caps sampled video frames at `interval` AFTER
+            # fps striding (image_pose.py:365-367) — without it a long clip
+            # decodes thousands of full-res frames
+            k, kept0 = 0, len(imgs)
             while True:
                 ok, frame = cap.read()
-                if not ok:
+                if not ok or len(imgs) - kept0 >= interval:
                     break
                 if k % step == 0:
                     img = PIL.Image.fromarray(frame[..., ::-1])

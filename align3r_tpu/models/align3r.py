@@ -181,7 +181,7 @@ def decode_pair(params: Params, feat1, pos1, feat2, pos2, pc_tokens, pc_pos,
                                   params["dec_blocks"], params["dec_blocks2"])
         f = jnp.stack([f1, f2])                        # (2, B, N, D)
         pos_s = jnp.stack([pos1, pos2])                # (2, B, N, 2)
-        pc = jnp.concatenate([pc1, pc2], axis=0)       # (2B, N, D)
+        # pc is already (2B, N, D) from the slice above — no re-concat
 
         def body_pc_s(carry, layer):
             f, pc = carry

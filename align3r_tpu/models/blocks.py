@@ -90,21 +90,27 @@ def _fused_pos_ok(pos) -> bool:
     if pos.ndim == 2 or pos.shape[0] == 1:
         return True
     key = (id(pos), pos.shape, str(pos.dtype))
-    hit = _POS_OK_CACHE.get(key)
-    if hit is None:
+    cached = _POS_OK_CACHE.get(key)
+    # the cache value PINS the keyed array: without the reference, a
+    # garbage-collected positions array could recycle its id and a new
+    # heterogeneous array would inherit a stale True verdict
+    if cached is None or cached[0] is not pos:
         p = pos.reshape(-1, pos.shape[-2], pos.shape[-1])
-        hit = bool(np.asarray(jnp.all(p == p[:1])))
+        cached = (pos, bool(np.asarray(jnp.all(p == p[:1]))))
         if len(_POS_OK_CACHE) > 64:
             _POS_OK_CACHE.clear()
-        _POS_OK_CACHE[key] = hit
-    return hit
+        _POS_OK_CACHE[key] = cached
+    return cached[1]
 
 
 def apply_attention(p, x, pos, num_heads: int, rope_base: float | None = 100.0,
                     attn_impl: str = "auto"):
     """Self-attention with RoPE2D on q, k. x: (B, N, C); pos: (B, N, 2)."""
     if attn_impl == "fused":
-        from align3r_tpu.ops.fused_site import attention_site, supported
+        # the _diff variant (kernel forward, XLA-recompute backward): this
+        # public path can be differentiated, and the raw kernel has no VJP
+        from align3r_tpu.ops.fused_site import (attention_site_diff as
+                                                attention_site, supported)
         if supported(x[None], num_heads) and _fused_pos_ok(pos):
             C = x.shape[-1]
             qk = p["qkv"]["kernel"][None]

@@ -171,14 +171,17 @@ def raft1_forward(params, image1, image2, cfg: RAFT1Config = RAFT1Config(),
         net2 = sep_conv_gru(params["update_block"]["gru"], net, x)
         fh = params["update_block"]["flow_head"]
         delta = conv(fh["conv2"], jax.nn.relu(conv(fh["conv1"], net2)))
-        mk = params["update_block"]["mask"]
-        mask = 0.25 * conv(mk["conv2"], jax.nn.relu(conv(mk["conv1"], net2)))
         flow2 = jax.lax.stop_gradient(flow) + delta.astype(jnp.float32)
-        return (net2, flow2), mask
+        return (net2, flow2), None
 
-    (net, flow8), masks = jax.lax.scan(body, (net, jnp.zeros((B, h, w, 2))),
-                                       None, length=iters)
-    flow_up = upsample_flow(flow8, masks[-1].astype(jnp.float32))
+    (net, flow8), _ = jax.lax.scan(body, (net, jnp.zeros((B, h, w, 2))),
+                                   None, length=iters)
+    # upsample mask depends only on the FINAL hidden state: computing it
+    # once here (instead of as a per-iteration scan output) avoids
+    # materialising an (iters, B, h, w, 576) buffer just to read [-1]
+    mk = params["update_block"]["mask"]
+    mask = 0.25 * conv(mk["conv2"], jax.nn.relu(conv(mk["conv1"], net)))
+    flow_up = upsample_flow(flow8, mask.astype(jnp.float32))
     t, b, l, r = pads
     return flow_up[:, t:H - b, l:W - r]
 

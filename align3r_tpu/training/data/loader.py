@@ -44,16 +44,16 @@ class BatchedRandomSampler:
         idxs = rng.permutation(self.len_dataset)[: self.total_size]
         n_batches = (self.total_size + self.batch_size - 1) // self.batch_size
         ar = rng.integers(0, self.num_ar, size=n_batches)
-        ar = np.broadcast_to(ar[:, None], (n_batches, self.batch_size)) \
-            .ravel()[: self.total_size]
-        # rank slicing: contiguous per-rank chunks of each batch
-        idxs = idxs.reshape(-1, self.batch_size)
-        ar = ar.reshape(-1, self.batch_size)
         per = self.batch_size // self.world_size
-        lo, hi = self.rank * per, (self.rank + 1) * per
-        for b in range(idxs.shape[0]):
-            for k in range(lo, hi if self.world_size > 1 else self.batch_size):
-                yield int(idxs[b, k]), int(ar[b, k])
+        for b in range(n_batches):
+            # per-batch chunking (no reshape: the last batch may be ragged
+            # when drop_last=False); rank slicing = contiguous per-rank
+            # chunk of each batch
+            chunk = idxs[b * self.batch_size:(b + 1) * self.batch_size]
+            if self.world_size > 1:
+                chunk = chunk[self.rank * per:(self.rank + 1) * per]
+            for i in chunk:
+                yield int(i), int(ar[b])
 
 
 def collate_views(samples: List[List[Dict]]) -> Dict:
@@ -112,7 +112,12 @@ class DataLoader:
                 yield (i, 0)
 
     def __iter__(self) -> Iterator[Dict]:
-        idx_iter = self._index_iter()
+        # items are reassembled in SAMPLER ORDER via sequence numbers: with
+        # >=2 workers, arrival order would mix items across batch
+        # boundaries, breaking the sampler's one-resolution-per-batch
+        # invariant (np.stack of mixed shapes) and desynchronising batch
+        # composition across data-parallel ranks
+        idx_iter = enumerate(self._index_iter())
         lock = threading.Lock()
         out_q: "queue.Queue" = queue.Queue(maxsize=self.prefetch * self.per_rank)
         stop = object()
@@ -124,7 +129,13 @@ class DataLoader:
                 if nxt is None:
                     out_q.put(stop)
                     return
-                out_q.put((nxt, self.dataset[nxt]))
+                seq, idx = nxt
+                try:
+                    out_q.put((seq, self.dataset[idx]))
+                except Exception as e:  # surface in the consumer, don't hang
+                    out_q.put(e)
+                    out_q.put(stop)
+                    return
 
         threads = [threading.Thread(target=worker, daemon=True)
                    for _ in range(self.num_workers)]
@@ -133,15 +144,24 @@ class DataLoader:
 
         done = 0
         buf = []
+        pending: Dict[int, object] = {}
+        next_seq = 0
         while done < self.num_workers:
             item = out_q.get()
             if item is stop:
                 done += 1
                 continue
-            buf.append(item[1])
-            if len(buf) == self.per_rank:
-                yield collate_views(buf)
-                buf = []
+            if isinstance(item, Exception):
+                raise item
+            pending[item[0]] = item[1]
+            while next_seq in pending:
+                buf.append(pending.pop(next_seq))
+                next_seq += 1
+                if len(buf) == self.per_rank:
+                    yield collate_views(buf)
+                    buf = []
+        if buf:  # ragged final batch (drop_last=False)
+            yield collate_views(buf)
 
 
 def get_data_loader(dataset, batch_size, num_workers=4, shuffle=True,

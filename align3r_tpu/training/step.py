@@ -89,13 +89,34 @@ def create_train_state(params, tx) -> TrainState:
                       step=jnp.zeros((), jnp.int32))
 
 
+def freeze_params(params) -> Dict[str, Any]:
+    """stop_gradient on every non-TRAINABLE param group.
+
+    This is what lets XLA PRUNE the frozen-encoder backward entirely: no
+    trainable group feeds the encoder, so with its weights stop_gradient'd
+    the encoder output has zero dependence on differentiated inputs and
+    the whole 24-layer backward subtree is dead code (the reference gets
+    the same effect from requires_grad=False, training.py:291-298).
+    Frozen groups still receive literal-zero gradient arrays, so the optax
+    masked set_to_zero chain and grad_norm stay well-defined (grad_norm
+    now counts only trainable gradients, as it should)."""
+    return {k: (v if k in TRAINABLE_KEYS
+                else jax.tree.map(jax.lax.stop_gradient, v))
+            for k, v in params.items()}
+
+
 def loss_fn(params, batch, cfg: Align3RConfig, alpha: float = 0.2,
-            dtype=jnp.bfloat16, remat: bool = True, attn_impl: str = "auto"):
+            dtype=jnp.bfloat16, remat: bool = True, attn_impl: str = "auto",
+            freeze: bool = True):
     """batch: {'view1': {...gt+inputs...}, 'view2': {...}} with per-view keys
     img, pred_depth (inputs) and pts3d, camera_pose, valid_mask (targets).
     attn_impl="fused" routes the forward through the Pallas site kernels
-    (custom-VJP: XLA-recompute backward) — TPU-only speedup."""
+    (custom-VJP: XLA-recompute backward) — TPU-only speedup. freeze=True
+    applies the fine-tune freeze list inside the differentiated function
+    (see freeze_params)."""
     v1, v2 = batch["view1"], batch["view2"]
+    if freeze:
+        params = freeze_params(params)
     pred1, pred2 = apply_align3r(params, v1, v2, cfg, dtype=dtype,
                                  attn_impl=attn_impl, remat=remat)
     loss, details = conf_regr3d_loss(v1, v2, pred1, pred2, alpha=alpha)
@@ -104,10 +125,11 @@ def loss_fn(params, batch, cfg: Align3RConfig, alpha: float = 0.2,
 
 def make_train_step(tx, cfg: Align3RConfig, alpha: float = 0.2,
                     dtype=jnp.bfloat16, remat: bool = True,
-                    attn_impl: str = "auto"):
+                    attn_impl: str = "auto", freeze: bool = True):
     def train_step(state: TrainState, batch) -> Tuple[TrainState, Dict]:
         (loss, details), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params, batch, cfg, alpha, dtype, remat, attn_impl)
+            state.params, batch, cfg, alpha, dtype, remat, attn_impl,
+            freeze)
         updates, new_opt = tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
         metrics = dict(details, loss=loss,

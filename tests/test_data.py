@@ -129,3 +129,48 @@ def test_data_loader_batches(synth_root):
     assert b["view2"]["pts3d"].shape == (4, 64, 96, 3)
     assert b["view1"]["valid_mask"].dtype == bool
     assert b["view1"]["camera_pose"].shape == (4, 4, 4)
+
+
+def test_data_loader_preserves_sampler_order():
+    """Multi-worker prefetch must reassemble items in SAMPLER order: with
+    out-of-order arrival, items would mix across batch boundaries and break
+    the one-resolution-per-batch invariant (code-review r3 finding). A
+    dataset with adversarial per-item delays makes arrival order differ
+    from submission order."""
+    import time as _time
+    from align3r_tpu.training.data.loader import DataLoader
+
+    class SlowDataset:
+        resolutions = [(8, 8)]
+
+        def __len__(self):
+            return 16
+
+        def __getitem__(self, idx):
+            i, ar = idx if isinstance(idx, tuple) else (idx, 0)
+            _time.sleep(0.05 if i % 4 == 0 else 0.0)  # stagger arrivals
+            view = {"img": np.full((2, 2), i, np.float32), "idx": i}
+            return [dict(view), dict(view)]
+
+    dl = DataLoader(SlowDataset(), batch_size=4, num_workers=4, shuffle=True)
+    dl.set_epoch(0)
+    got = [b["view1"]["idx"].tolist() for b in dl]
+    # expected composition = sampler order chunked by 4
+    s = dl.sampler
+    s.set_epoch(0)
+    want = [i for i, _ in s]
+    want = [want[k:k + 4] for k in range(0, 16, 4)]
+    assert got == want, (got, want)
+
+
+def test_batched_sampler_ragged_drop_last_false():
+    class Dummy:
+        def __len__(self):
+            return 10
+    s = BatchedRandomSampler(Dummy(), batch_size=4, num_ar=2, drop_last=False)
+    s.set_epoch(0)
+    items = list(s)
+    assert len(items) == 10                      # nothing dropped, no crash
+    assert sorted(i for i, _ in items) == list(range(10))
+    ars = [ar for _, ar in items]
+    assert len(set(ars[0:4])) == 1 and len(set(ars[4:8])) == 1

@@ -127,3 +127,26 @@ def test_train_step_sharded_8dev():
                              jax.tree.map(lambda x: np.asarray(x), batch))
     np.testing.assert_allclose(float(metrics["loss"]), float(metrics1["loss"]),
                                rtol=1e-4)
+
+
+def test_frozen_groups_get_literal_zero_grads():
+    """freeze_params stop_gradients the frozen groups INSIDE the
+    differentiated function, so XLA prunes the encoder backward instead of
+    computing-then-zeroing it (code-review r3 finding); the returned grads
+    for frozen groups are literal zeros and grad_norm counts only
+    trainable gradients."""
+    from align3r_tpu.training.step import loss_fn, TRAINABLE_KEYS
+    params = init_align3r(jax.random.PRNGKey(0), CFG)
+    batch = make_batch()
+    grads = jax.grad(lambda p: loss_fn(p, batch, CFG, dtype=jnp.float32,
+                                       remat=False)[0])(params)
+    for k, g in grads.items():
+        leaves = [np.asarray(x) for x in jax.tree.leaves(g)]
+        if k in ("head1", "head2", "dec_blocks", "dec_blocks2", "dec_norm",
+                 "zero_convs"):
+            # dec_blocks_pc / patch_embed_point_cloud legitimately get zero
+            # grads at init: the zero-init zero-conv kernels block gradient
+            # flow INTO the pc branch until the convs move
+            assert any(np.abs(x).max() > 0 for x in leaves), k
+        elif k not in TRAINABLE_KEYS:
+            assert all((x == 0).all() for x in leaves), k
