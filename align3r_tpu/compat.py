@@ -132,11 +132,19 @@ class _SceneWrapper:
     # is a row-level gradient mask, so every scene is "modular")
     @staticmethod
     def _msk_indices(msk, n_values):
-        """Reference _get_msk_indices: values align with the SELECTED image
-        indices (zip semantics), msk=None means images 0..n-1."""
+        """Reference _get_msk_indices (modular_optimizer.py:73-85): int
+        scalars / int lists / int arrays ARE image indices; only BOOL masks
+        go through np.where; msk=None means images 0..n-1."""
         if msk is None:
             return np.arange(n_values)
-        return np.nonzero(np.asarray(msk))[0][:n_values]
+        if isinstance(msk, (int, np.integer)):
+            return np.array([msk])
+        msk = np.asarray(msk)
+        if msk.dtype == bool:
+            return np.where(msk)[0][:n_values]
+        if np.issubdtype(msk.dtype, np.integer):
+            return msk[:n_values]
+        raise TypeError(f"bad mask dtype {msk.dtype!r} (bool or int)")
 
     def preset_pose(self, known_poses, pose_msk=None):
         from align3r_tpu.alignment import scene
@@ -243,9 +251,34 @@ class _SceneWrapper:
         return self
 
 
-def global_aligner(dust3r_output, device=None,
+def global_aligner(dust3r_output, *args, device=None,
                    mode=GlobalAlignerMode.PointCloudOptimizer, **kwargs):
-    """Reference cloud_opt factory signature."""
-    variant = "prior" if kwargs.pop("if_use_mono_env", False) else \
-        kwargs.pop("variant", "flow")
+    """BOTH reference factory signatures, distinguished positionally:
+
+    - flow variant  (cloud_opt_flow/__init__.py:20):
+        global_aligner(output, device, mode=..., **optim_kw)
+    - prior variant (cloud_opt/__init__.py:26):
+        global_aligner(output, if_use_mono, mono_depths, device, mode=...,
+                       **optim_kw)
+
+    A bool second positional argument selects the prior-variant binding
+    (if_use_mono); anything else binds as `device` (flow variant)."""
+    variant = kwargs.pop("variant", None)
+    if args and isinstance(args[0], (bool, np.bool_)):
+        kwargs["if_use_mono"] = bool(args[0])
+        if len(args) > 1:
+            kwargs.setdefault("mono_depths", args[1])
+        if len(args) > 2:
+            device = args[2]
+        if len(args) > 3:
+            mode = args[3]
+        variant = variant or "prior"
+    else:
+        if len(args) > 0:
+            device = args[0]
+        if len(args) > 1:
+            mode = args[1]
+        variant = variant or "flow"
+    if kwargs.pop("if_use_mono_env", False):
+        variant = "prior"
     return _SceneWrapper(dust3r_output, mode, device, variant=variant, **kwargs)

@@ -104,10 +104,13 @@ function mat() {{
   const f = norm3(sub3(center, eye));
   const r = norm3(cross3(f, [0, -1, 0]));
   const u = cross3(r, f);
+  // z-row translation is +dot(f, eye): view_z(center) = -f.(center-eye)
+  // = -dist (in FRONT of the camera). The sign was inverted once and the
+  // whole cloud landed behind the near plane (blank canvas).
   const tx = -dot3(r, eye) + panX, ty = -dot3(u, eye) + panY, tz = dot3(f, eye);
   const view = [
     [r[0], r[1], r[2], tx], [u[0], u[1], u[2], ty],
-    [-f[0], -f[1], -f[2], -tz], [0, 0, 0, 1]];
+    [-f[0], -f[1], -f[2], tz], [0, 0, 0, 1]];
   const projm = [
     [fy / aspect, 0, 0, 0], [0, fy, 0, 0],
     [0, 0, (far + near) / (near - far), 2 * far * near / (near - far)],

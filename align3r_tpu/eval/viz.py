@@ -102,6 +102,14 @@ class SceneViz:
             cols = np.broadcast_to(np.asarray(color, np.uint8), pts.shape).copy()
         else:
             cols = np.asarray(color).reshape(-1, 3)
+            if cols.dtype != np.uint8:
+                # normalise floats to uint8 HERE: save() concatenates
+                # pointcloud colors with uint8 camera colors, which would
+                # defeat write_ply's max<=1 scaling heuristic and truncate
+                # [0,1] floats to black
+                if cols.size and cols.max() <= 1.0:
+                    cols = cols * 255.0
+                cols = np.clip(cols, 0, 255).astype(np.uint8)
         if mask is not None:
             m = np.asarray(mask).reshape(-1)
             pts, cols = pts[m], cols[m]

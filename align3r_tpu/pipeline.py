@@ -194,6 +194,7 @@ def reconstruct_scene(
     variant: str = "flow",                 # 'flow' (demo/pose) | 'prior' (depth)
     mono_depths: Optional[np.ndarray] = None,
     raft_params=None,
+    raft_kind: str = "raft2",              # 'raft2' (SEA-RAFT) | 'raft1'
     dynamic_masks: Optional[np.ndarray] = None,
     use_self_mask: bool = False,
     sam2_mask_refine: bool = False,
@@ -228,7 +229,8 @@ def reconstruct_scene(
     # flow precompute + motion masks
     if variant == "flow" and cfg.flow_loss_weight > 0 and raft_params is not None:
         imgs01 = (np.asarray(imgs) * 0.5 + 0.5)
-        flow_ij, flow_ji = compute_raft_flows(raft_params, imgs01, pairs)
+        flow_ij, flow_ji = compute_raft_flows(raft_params, imgs01, pairs,
+                                              raft_kind=raft_kind)
         if use_self_mask and dynamic_masks is None:
             from align3r_tpu.alignment.pair_viewer import motion_masks_from_pairs
             dynamic_masks = motion_masks_from_pairs(

@@ -117,3 +117,37 @@ def test_save_score_heatmap(tmp_path):
     loss = scene.compute_global_alignment(init="mst", niter=2,
                                           save_score_path=str(p))
     assert np.isfinite(loss)
+
+
+def test_msk_indices_reference_semantics():
+    """int scalars / lists / arrays ARE image indices (reference
+    modular_optimizer.py:73-85); only bool masks go through np.where —
+    np.nonzero on an int list silently selected the wrong images."""
+    f = compat._SceneWrapper._msk_indices
+    np.testing.assert_array_equal(f(None, 3), [0, 1, 2])
+    np.testing.assert_array_equal(f(2, 1), [2])
+    np.testing.assert_array_equal(f([0, 3, 5], 3), [0, 3, 5])
+    np.testing.assert_array_equal(f(np.array([1, 4]), 2), [1, 4])
+    np.testing.assert_array_equal(f([True, False, True], 2), [0, 2])
+    import pytest as _pytest
+    with _pytest.raises(TypeError):
+        f(np.array([0.5, 1.0]), 2)
+
+
+def test_global_aligner_prior_positional_signature(model):
+    """The prior-variant reference factory is positional:
+    global_aligner(output, if_use_mono, mono_depths, device, mode=...)
+    (cloud_opt/__init__.py:26) — reference-style call sites must bind."""
+    imgs = make_views()
+    pairs = compat.make_pairs(imgs, "complete", symmetrize=True)
+    output = compat.inference(pairs, model, batch_size=4)
+    n = 3
+    H, W = np.asarray(output["pred1"]["pts3d"]).shape[1:3]
+    mono = [np.full((H, W), 2.0, np.float32) for _ in range(n)]
+    scene = compat.global_aligner(output, True, mono, None,
+                                  min_conf_thr=1.1)
+    assert scene._variant == "prior"
+    assert scene.cfg.if_use_mono
+    loss = scene.compute_global_alignment(init="mst", niter=5,
+                                          schedule="cosine", lr=0.05)
+    assert np.isfinite(loss)

@@ -77,7 +77,7 @@ def test_reconstruct_flow_variant_with_raft(tiny_setup):
     # patch compute_raft_flows to the tiny config via iters arg path
     import align3r_tpu.pipeline as P
 
-    def tiny_flows(rp, imgs01, edges, chunk=12, iters=2):
+    def tiny_flows(rp, imgs01, edges, chunk=12, iters=2, **kw):
         from align3r_tpu.models.raft import raft_forward
         ei = np.array([e[0] for e in edges]); ej = np.array([e[1] for e in edges])
         a = jnp.asarray(imgs01[ei] * 255); b = jnp.asarray(imgs01[ej] * 255)
@@ -115,7 +115,7 @@ def test_sam2_mask_refine_wiring(tiny_setup):
     import align3r_tpu.pipeline as P
     import align3r_tpu.models.sam2_refine as R
 
-    def tiny_flows(rp, imgs01, edges, chunk=12, iters=2):
+    def tiny_flows(rp, imgs01, edges, chunk=12, iters=2, **kw):
         from align3r_tpu.models.raft import raft_forward
         ei = np.array([e[0] for e in edges]); ej = np.array([e[1] for e in edges])
         a = jnp.asarray(imgs01[ei] * 255); b = jnp.asarray(imgs01[ej] * 255)

@@ -70,11 +70,11 @@ def main():
                         dynamic_mask_root=None)
     stacked = stack_views(views)
 
-    raft_params = None
+    raft_params, raft_kind = None, "raft2"
     flow_w = 0.0
     if os.path.exists(args.raft_weights):
         from align3r_tpu.models.raft1 import load_raft_auto
-        raft_params, _raft_kind = load_raft_auto(args.raft_weights)
+        raft_params, raft_kind = load_raft_auto(args.raft_weights)
         flow_w = 0.01
 
     scene_kw = dict(shared_focal=True, temporal_smoothing_weight=0.01,
@@ -82,6 +82,7 @@ def main():
                     flow_loss_start_epoch=0.1, flow_loss_thre=25,
                     min_conf_thr=1.1)
     common = dict(variant="flow", raft_params=raft_params,
+                  raft_kind=raft_kind,
                   use_self_mask=not args.use_gt_davis_masks,
                   dynamic_masks=(stacked["dynamic_masks"]
                                  if args.use_gt_davis_masks else None),

@@ -34,17 +34,17 @@ def main():
                         depth_prior_name=args.depth_prior_name)
     stacked = stack_views(views)
 
-    raft_params = None
+    raft_params, raft_kind = None, "raft2"
     flow_w = 0.0
     if os.path.exists(args.raft_weights):
         from align3r_tpu.models.raft1 import load_raft_auto
-        raft_params, _raft_kind = load_raft_auto(args.raft_weights)
+        raft_params, raft_kind = load_raft_auto(args.raft_weights)
         flow_w = 0.01
 
     scene = reconstruct_scene(
         stacked["imgs"], stacked["priors"], params, cfg,
         scene_graph="swinstride-5-noncyclic", variant="flow",
-        raft_params=raft_params, use_self_mask=True,
+        raft_params=raft_params, raft_kind=raft_kind, use_self_mask=True,
         niter=args.niter, lr=0.01, schedule="linear",
         batch_size=args.batch_size,
         scene_kw=dict(shared_focal=True, temporal_smoothing_weight=0.01,
@@ -54,10 +54,19 @@ def main():
     scene.save_intrinsics(os.path.join(out_dir, "pred_intrinsics.txt"))
     depths = scene.save_depth_maps(out_dir)
 
-    # PromptDA refinement to full input resolution
+    # PromptDA refinement at ORIGINAL input resolution: the reference
+    # passes raw_imgs loaded at native res (tool/demo_refine.py:138) —
+    # feeding the model-res scene.imgs would add compute with no
+    # resolution gain. Video inputs have no on-disk frames; they refine
+    # at model res.
     from align3r_tpu.models.prompt_da import load_hf_prompt_da, rescale_depth_maps
+    from tool.depth_test import load_raw_images01
     pda_params, pda_cfg = load_hf_prompt_da(args.promptda_model)
-    imgs01 = np.asarray(scene.imgs) * 0.5 + 0.5
+    files = [v["instance"] for v in views]
+    if all(os.path.isfile(f) for f in files):
+        imgs01 = load_raw_images01(files)
+    else:
+        imgs01 = np.asarray(scene.imgs) * 0.5 + 0.5
     refined = rescale_depth_maps(pda_params, pda_cfg, imgs01, depths)
     for i, d in enumerate(refined):
         np.save(os.path.join(out_dir, f"frame_{i:04d}_refined.npy"), d)

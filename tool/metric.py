@@ -7,7 +7,12 @@ pipeline lives in align3r_tpu/eval/depth_metrics.py.
 """
 from __future__ import annotations
 
+import os
+import sys
+
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def _masked_mean_per_image(err: np.ndarray, valid_mask) -> float:
@@ -82,17 +87,15 @@ def i_rmse(output, target, valid_mask=None):
 
 
 def silog_rmse(depth_pred, depth_gt, valid_mask=None):
-    """Scale-invariant log RMSE x100 (reference metric.py:115-128)."""
-    pred, gt = np.asarray(depth_pred), np.asarray(depth_gt)
-    diff = np.log(pred) - np.log(gt)
-    if valid_mask is not None:
-        diff = np.where(np.asarray(valid_mask, bool), diff, 0.0)
-        n = np.asarray(valid_mask, bool).sum((-1, -2))
-    else:
-        n = pred.shape[-1] * pred.shape[-2]
-    diff2 = (diff ** 2).sum((-1, -2)) / n
-    bias = (diff.sum((-1, -2)) / n) ** 2
-    return float((np.sqrt(diff2 - bias) * 100.0).mean())
+    """Scale-invariant log RMSE x100 (reference metric.py:115-128).
+
+    Delegates to eval.depth_metrics.silog_rmse — the reference takes
+    sqrt(mean(per-image SI error)), NOT mean(per-image sqrt); a local copy
+    here once diverged exactly that way (Jensen gap for any batch > 1)."""
+    from align3r_tpu.eval.depth_metrics import silog_rmse as _silog
+    return float(_silog(np.asarray(depth_pred), np.asarray(depth_gt),
+                        None if valid_mask is None
+                        else np.asarray(valid_mask, bool)))
 
 
 def main():

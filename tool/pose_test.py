@@ -72,10 +72,10 @@ def main():
     seqs = process_slice(seqs, args.n_proc, args.proc_id)
 
     params, cfg = load_model(args.weights, args.image_size)
-    raft_params = None
+    raft_params, raft_kind = None, "raft2"
     if args.flow_loss_weight > 0 and os.path.exists(args.raft_weights):
         from align3r_tpu.models.raft1 import load_raft_auto
-        raft_params, _raft_kind = load_raft_auto(args.raft_weights)
+        raft_params, raft_kind = load_raft_auto(args.raft_weights)
 
     err_log = os.path.join(args.output_dir, f"_error_log_{args.proc_id}.txt")
     ates, rpes_t, rpes_r = [], [], []
@@ -106,6 +106,7 @@ def main():
                 min_conf_thr=args.min_conf_thr)
             common = dict(
                 variant="flow", raft_params=raft_params,
+                raft_kind=raft_kind,
                 use_self_mask=args.use_self_mask and not args.use_gt_mask,
                 sam2_mask_refine=args.sam2_mask_refine,
                 niter=args.niter, lr=args.lr, schedule=args.pose_schedule,
@@ -119,8 +120,13 @@ def main():
                 from align3r_tpu.pipeline import reconstruct_scene_hierarchical
                 from align3r_tpu.eval.trajectory import save_tum_trajectory
                 clip_size = args.clip_size
-                while n % clip_size in (0, 1) or clip_size > n:
+                # floor at 2: the reference's shrink loop (pose_test.py:379)
+                # decrements to 0 and ZeroDivisionErrors for n <= 4; short
+                # sequences just use one clip (= non-hierarchical)
+                while clip_size > 2 and (n % clip_size in (0, 1)
+                                         or clip_size > n):
                     clip_size -= 1
+                clip_size = max(clip_size, 2)
                 results, all_poses, all_depths = reconstruct_scene_hierarchical(
                     stacked["imgs"], stacked["priors"], params, cfg,
                     clip_size=clip_size, coarse_niter=args.niter,
