@@ -44,14 +44,46 @@ class TrainArgs:
     keep_freq: int = 5
     print_freq: int = 20
     n_data: Optional[int] = None              # data-parallel mesh size
+    ckpt_backend: str = "pickle"              # 'pickle' | 'orbax' (async)
     profile: bool = False
     max_steps_per_epoch: Optional[int] = None  # for smoke tests
 
 
-def save_checkpoint(path, state, epoch, best_so_far=None):
+_ORBAX_CKPTR = None
+
+
+def _orbax():
+    """One process-wide AsyncCheckpointer (orbax manages a background
+    thread; serialising saves through one instance is the supported
+    pattern)."""
+    global _ORBAX_CKPTR
+    if _ORBAX_CKPTR is None:
+        import orbax.checkpoint as ocp
+        _ORBAX_CKPTR = ocp.AsyncCheckpointer(ocp.StandardCheckpointHandler())
+    return _ORBAX_CKPTR
+
+
+def save_checkpoint(path, state, epoch, best_so_far=None,
+                    backend: str = "pickle"):
+    """backend='pickle': host-gathered numpy pickle (single-host, simple).
+    backend='orbax': TPU-native ASYNC save — the device arrays are handed
+    to orbax's background thread and training continues during the write;
+    on a multi-host mesh each process writes only its addressable shards
+    (no host gather). Resume reads either format (load_checkpoint)."""
     import jax
-    import pickle
     os.makedirs(path, exist_ok=True)
+    if backend == "orbax":
+        import json as _json
+        ck = _orbax()
+        ck.wait_until_finished()   # at most one in-flight save
+        ck.save(os.path.abspath(os.path.join(path, "orbax")),
+                {"params": state.params, "opt_state": state.opt_state},
+                force=True)
+        with open(os.path.join(path, "meta.json"), "w") as f:
+            _json.dump({"step": int(state.step), "epoch": epoch,
+                        "best_so_far": best_so_far}, f)
+        return
+    import pickle
     flat = jax.tree.map(np.asarray, state.params)
     opt = jax.tree.map(np.asarray, state.opt_state)
     with open(os.path.join(path, "state.pkl"), "wb") as f:
@@ -60,10 +92,36 @@ def save_checkpoint(path, state, epoch, best_so_far=None):
                      "best_so_far": best_so_far}, f)
 
 
-def load_checkpoint(path):
+def load_checkpoint(path, target_state=None):
+    """Auto-detects the on-disk format. For orbax checkpoints pass the
+    freshly-built TrainState as target_state so optax's NamedTuple
+    structure is restored exactly (orbax otherwise returns plain dicts)."""
+    import json as _json
+    opath = os.path.join(path, "orbax")
+    if os.path.isdir(opath):
+        ck = _orbax()
+        ck.wait_until_finished()
+        target = (None if target_state is None else
+                  {"params": target_state.params,
+                   "opt_state": target_state.opt_state})
+        import orbax.checkpoint as ocp
+        restored = ck.restore(
+            os.path.abspath(opath),
+            args=None if target is None else ocp.args.StandardRestore(target))
+        with open(os.path.join(path, "meta.json")) as f:
+            meta = _json.load(f)
+        return {"params": restored["params"],
+                "opt_state": restored["opt_state"], **meta}
     import pickle
     with open(os.path.join(path, "state.pkl"), "rb") as f:
         return pickle.load(f)
+
+
+def wait_for_checkpoints():
+    """Block until any in-flight async orbax save has committed (call
+    before process exit so the last checkpoint is durable)."""
+    if _ORBAX_CKPTR is not None:
+        _ORBAX_CKPTR.wait_until_finished()
 
 
 def export_torch_checkpoint(path, params, cfg):
@@ -124,8 +182,9 @@ def train(args: TrainArgs):
 
     best_so_far = None
     last = os.path.join(args.output_dir, "checkpoint-last")
-    if os.path.exists(os.path.join(last, "state.pkl")):  # auto-resume
-        ck = load_checkpoint(last)
+    if os.path.exists(os.path.join(last, "state.pkl")) \
+            or os.path.isdir(os.path.join(last, "orbax")):  # auto-resume
+        ck = load_checkpoint(last, target_state=state)
         state = TrainState(params=jax.tree.map(jnp.asarray, ck["params"]),
                            opt_state=jax.tree.map(
                                lambda x: jnp.asarray(x) if isinstance(x, np.ndarray) else x,
@@ -192,7 +251,8 @@ def train(args: TrainArgs):
             if test_loss is not None and (best_so_far is None or test_loss < best_so_far):
                 best_so_far = test_loss
                 save_checkpoint(os.path.join(args.output_dir, "checkpoint-best"),
-                                state, epoch, best_so_far)
+                                state, epoch, best_so_far,
+                                backend=args.ckpt_backend)
 
         with open(log_path, "a") as f:
             f.write(json.dumps({"epoch": epoch,
@@ -200,12 +260,15 @@ def train(args: TrainArgs):
                                 "test_loss": test_loss,
                                 "time_s": time.time() - t0}) + "\n")
         if (epoch + 1) % args.save_freq == 0 or epoch + 1 == args.epochs:
-            save_checkpoint(last, state, epoch, best_so_far)
+            save_checkpoint(last, state, epoch, best_so_far,
+                            backend=args.ckpt_backend)
         if (epoch + 1) % args.keep_freq == 0:
             save_checkpoint(os.path.join(args.output_dir,
                                          f"checkpoint-{epoch + 1}"),
-                            state, epoch, best_so_far)
+                            state, epoch, best_so_far,
+                            backend=args.ckpt_backend)
 
+    wait_for_checkpoints()
     # final torch-compat export (reference training.py:251-262)
     export_torch_checkpoint(os.path.join(args.output_dir, "checkpoint-final.pth"),
                             jax.tree.map(np.asarray, state.params), cfg)

@@ -150,3 +150,37 @@ def test_frozen_groups_get_literal_zero_grads():
             assert any(np.abs(x).max() > 0 for x in leaves), k
         elif k not in TRAINABLE_KEYS:
             assert all((x == 0).all() for x in leaves), k
+
+
+def test_checkpoint_backends_roundtrip(tmp_path):
+    """pickle and orbax (async, TPU-native) checkpoint backends both
+    round-trip a full TrainState, including optax's NamedTuple optimizer
+    state (orbax needs target_state for that)."""
+    from align3r_tpu.training.train import (save_checkpoint, load_checkpoint,
+                                            wait_for_checkpoints)
+    params = init_align3r(jax.random.PRNGKey(0), CFG)
+    tx = make_optimizer(params, make_lr_schedule(1e-3, 1e-5, 0, 10, 10))
+    state = create_train_state(params, tx)
+    step = jax.jit(make_train_step(tx, CFG, dtype=jnp.float32, remat=False))
+    state, _ = step(state, make_batch())   # non-trivial opt state
+
+    for backend in ("pickle", "orbax"):
+        path = str(tmp_path / backend)
+        save_checkpoint(path, state, epoch=3, best_so_far=1.5,
+                        backend=backend)
+        wait_for_checkpoints()
+        fresh = create_train_state(params, tx)
+        ck = load_checkpoint(path, target_state=fresh)
+        assert ck["epoch"] == 3 and ck["best_so_far"] == 1.5
+        jax.tree.map(
+            lambda a, b: np.testing.assert_array_equal(np.asarray(a),
+                                                       np.asarray(b)),
+            ck["params"], state.params)
+        # optimizer state restored with identical structure + values
+        assert jax.tree.structure(ck["opt_state"]) == \
+            jax.tree.structure(state.opt_state) or backend == "pickle"
+        jax.tree.map(
+            lambda a, b: np.testing.assert_array_equal(np.asarray(a),
+                                                       np.asarray(b)),
+            jax.tree.leaves(ck["opt_state"]),
+            jax.tree.leaves(state.opt_state))
