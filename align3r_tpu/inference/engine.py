@@ -81,20 +81,18 @@ def _decode_batch_jit(params, feat1, feat2, pc1, pc2, cfg, img_hw,
                          unroll)
 
 
-@functools.partial(jax.jit,
-                   static_argnames=("cfg", "img_hw", "dtype", "head_dtype",
-                                    "attn_impl", "stacked_heads",
-                                    "head_conv_impl", "unroll"))
-def _decode_all_jit(params, feats, pc_tok, bi, bj, cfg, img_hw,
-                    dtype=jnp.bfloat16, head_dtype=jnp.float32,
-                    attn_impl: str = "auto", stacked_heads: bool = False,
-                    head_conv_impl: str = "xla", unroll: int = 1):
+def _decode_all_scan(params, feats, pc_tok, bi, bj, cfg, img_hw,
+                     dtype=jnp.bfloat16, head_dtype=jnp.float32,
+                     attn_impl: str = "auto", stacked_heads: bool = False,
+                     head_conv_impl: str = "xla", unroll: int = 1):
     """Whole decode phase as ONE dispatch: lax.scan over padded pair
     batches (bi/bj: (n_batches, batch) image indices). A per-batch host
     loop costs ~11 dispatches per batch, and when the TPU tunnel enters a
     slow-dispatch phase that overhead leaks straight into throughput
     (measured 130 -> 85 pairs/s with identical programs); one scan makes
-    the decode phase latency-immune like the alignment solve."""
+    the decode phase latency-immune like the alignment solve.
+    Returns (n_batches, batch, ...) pytrees (the un-flattened shape is what
+    the multi-chip shard_map wrapper splits along axis 1)."""
     def body(_, idx):
         i, j = idx
         r1, r2 = _decode_batch(params, jnp.take(feats, i, axis=0),
@@ -106,9 +104,26 @@ def _decode_all_jit(params, feats, pc_tok, bi, bj, cfg, img_hw,
         return None, (r1, r2)
 
     _, (outs1, outs2) = jax.lax.scan(body, None, (bi, bj))
+    return outs1, outs2
+
+
+def _flat_batches(tree):
     # (n_batches, batch, ...) -> (n_batches*batch, ...)
-    flat = lambda t: t.reshape((-1,) + t.shape[2:])
-    return jax.tree.map(flat, outs1), jax.tree.map(flat, outs2)
+    return jax.tree.map(lambda t: t.reshape((-1,) + t.shape[2:]), tree)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("cfg", "img_hw", "dtype", "head_dtype",
+                                    "attn_impl", "stacked_heads",
+                                    "head_conv_impl", "unroll"))
+def _decode_all_jit(params, feats, pc_tok, bi, bj, cfg, img_hw,
+                    dtype=jnp.bfloat16, head_dtype=jnp.float32,
+                    attn_impl: str = "auto", stacked_heads: bool = False,
+                    head_conv_impl: str = "xla", unroll: int = 1):
+    outs1, outs2 = _decode_all_scan(params, feats, pc_tok, bi, bj, cfg,
+                                    img_hw, dtype, head_dtype, attn_impl,
+                                    stacked_heads, head_conv_impl, unroll)
+    return _flat_batches(outs1), _flat_batches(outs2)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "dtype", "attn_impl"))
@@ -119,14 +134,79 @@ def _encode_all_jit(params, imgs, priors, cfg, dtype=jnp.bfloat16,
     return feats, pc_tok
 
 
+# --------------------------------------------------------- multi-chip (dp)
+#
+# A pallas_call is an opaque custom call to GSPMD: jit-with-sharded-inputs
+# would all-gather around the fused site kernels instead of partitioning
+# them. shard_map splits the batch across the 'data' mesh axis BEFORE
+# tracing, so every chip runs its own kernels on its slice — per-image
+# encode and per-pair decode are embarrassingly parallel (zero collectives
+# on the hot path; only the replicated feats/params are broadcast once).
+
+_SHARDED_CACHE: dict = {}
+
+
+def sharded_engine_fns(mesh, cfg, img_hw, dtype, head_dtype, attn_impl,
+                       stacked_heads, head_conv_impl, unroll,
+                       encode_attn_impl):
+    """(encode_fn, decode_fn) dp-sharded over mesh axis 'data', cached per
+    (mesh, statics) so repeated inference() calls reuse the compiled
+    programs. encode_fn(params, imgs, priors) shards images; decode_fn
+    (params, feats, pc_tok, bi, bj) shards each scan step's pair batch."""
+    key = (mesh, cfg, img_hw, jnp.dtype(dtype).name,
+           jnp.dtype(head_dtype).name, attn_impl, stacked_heads,
+           head_conv_impl, unroll, encode_attn_impl)
+    hit = _SHARDED_CACHE.get(key)
+    if hit is not None:
+        return hit
+    from jax.sharding import PartitionSpec as P
+    try:
+        shard_map = jax.shard_map
+    except AttributeError:   # older jax
+        from jax.experimental.shard_map import shard_map
+    rep = P()
+
+    def enc(params, im, pr):
+        feats, _ = encode_images(params, im, cfg, dtype, encode_attn_impl)
+        pc_tok, _ = embed_point_cloud(params, pr, cfg, dtype)
+        return feats, pc_tok
+
+    enc_sh = jax.jit(shard_map(
+        enc, mesh=mesh, in_specs=(rep, P("data"), P("data")),
+        out_specs=P("data")))
+
+    def dec(params, feats, pc_tok, bi, bj):
+        return _decode_all_scan(params, feats, pc_tok, bi, bj, cfg, img_hw,
+                                dtype, head_dtype, attn_impl, stacked_heads,
+                                head_conv_impl, unroll)
+
+    dec_sh_scan = jax.jit(shard_map(
+        dec, mesh=mesh,
+        in_specs=(rep, rep, rep, P(None, "data"), P(None, "data")),
+        out_specs=P(None, "data")))
+
+    def dec_sh(params, feats, pc_tok, bi, bj):
+        o1, o2 = dec_sh_scan(params, feats, pc_tok, bi, bj)
+        return _flat_batches(o1), _flat_batches(o2)
+
+    _SHARDED_CACHE[key] = (enc_sh, dec_sh)
+    return enc_sh, dec_sh
+
+
 def inference(pairs: Sequence[Tuple[int, int]], params, cfg: Align3RConfig,
               imgs: jnp.ndarray, priors: jnp.ndarray,
               batch_size: int = 16, dtype=jnp.bfloat16,
               encode_chunk: int = 16, head_dtype=jnp.bfloat16,
               attn_impl: str | None = None, stacked_heads: bool = False,
               encode_attn_impl: str | None = None,
-              head_conv_impl: str = "xla", unroll: int = 3) -> Dict:
+              head_conv_impl: str = "xla", unroll: int = 3,
+              mesh=None) -> Dict:
     """Run the two-view network over a frame graph.
+
+    mesh: optional jax.sharding.Mesh with a 'data' axis — encode and decode
+    run dp-sharded over it via shard_map (each chip runs the Pallas site
+    kernels on its slice of images / pairs; params and feats are
+    replicated). batch_size and encode_chunk must divide the 'data' size.
 
     pairs: list of (i, j) index edges; imgs: (n, H, W, 3) normalised,
     landscape; priors: (n, H, W, 3) normalised prior pointclouds.
@@ -171,6 +251,19 @@ def inference(pairs: Sequence[Tuple[int, int]], params, cfg: Align3RConfig,
     # (otherwise every decode program re-copies ~900 MB of fp32 weights)
     params = stack_decoder_params(params, dtype)
 
+    enc_sh = dec_sh = None
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        nd = mesh.shape["data"]
+        if batch_size % nd or encode_chunk % nd:
+            raise ValueError(
+                f"batch_size={batch_size} and encode_chunk={encode_chunk} "
+                f"must divide the mesh 'data' size {nd}")
+        enc_sh, dec_sh = sharded_engine_fns(
+            mesh, cfg, (H, W), dtype, head_dtype, attn_impl, stacked_heads,
+            head_conv_impl, unroll, encode_attn_impl)
+        params = jax.device_put(params, NamedSharding(mesh, P()))
+
     # 1-2) per-image encoder + prior embed, chunked to bound memory
     feats_l, pc_l = [], []
     for s in range(0, n, encode_chunk):
@@ -182,7 +275,11 @@ def inference(pairs: Sequence[Tuple[int, int]], params, cfg: Align3RConfig,
         if pad:
             im = jnp.concatenate([im, jnp.zeros((pad, H, W, 3), im.dtype)], axis=0)
             pr = jnp.concatenate([pr, jnp.zeros((pad, H, W, 3), pr.dtype)], axis=0)
-        f, pc = _encode_all_jit(params, im, pr, cfg, dtype, encode_attn_impl)
+        if enc_sh is not None:
+            f, pc = enc_sh(params, im, pr)
+        else:
+            f, pc = _encode_all_jit(params, im, pr, cfg, dtype,
+                                    encode_attn_impl)
         feats_l.append(f[: e - s])
         pc_l.append(pc[: e - s])
     feats = jnp.concatenate(feats_l, axis=0)
@@ -207,14 +304,25 @@ def inference(pairs: Sequence[Tuple[int, int]], params, cfg: Align3RConfig,
     outs1, outs2 = [], []
     n_full = (n_batches // SCAN_NB) * SCAN_NB
     for s in range(0, n_full, SCAN_NB):
-        r1, r2 = _decode_all_jit(params, feats, pc_tok,
-                                 jnp.asarray(bi[s:s + SCAN_NB]),
-                                 jnp.asarray(bj[s:s + SCAN_NB]),
-                                 cfg, (H, W), dtype, head_dtype, attn_impl,
-                                 stacked_heads, head_conv_impl, unroll)
+        ib = jnp.asarray(bi[s:s + SCAN_NB])
+        jb = jnp.asarray(bj[s:s + SCAN_NB])
+        if dec_sh is not None:
+            r1, r2 = dec_sh(params, feats, pc_tok, ib, jb)
+        else:
+            r1, r2 = _decode_all_jit(params, feats, pc_tok, ib, jb,
+                                     cfg, (H, W), dtype, head_dtype,
+                                     attn_impl, stacked_heads,
+                                     head_conv_impl, unroll)
         outs1.append(r1)
         outs2.append(r2)
     for s in range(n_full, n_batches):
+        if dec_sh is not None:
+            r1, r2 = dec_sh(params, feats, pc_tok,
+                            jnp.asarray(bi[s:s + 1]),
+                            jnp.asarray(bj[s:s + 1]))
+            outs1.append(r1)
+            outs2.append(r2)
+            continue
         i = jnp.asarray(bi[s])
         j = jnp.asarray(bj[s])
         r1, r2 = _decode_batch_jit(params, jnp.take(feats, i, axis=0),

@@ -219,3 +219,31 @@ def test_engine_pipeline_heads_match_xla():
     np.testing.assert_allclose(np.asarray(a["pred2"]["conf"]),
                                np.asarray(b["pred2"]["conf"]),
                                atol=1e-4, rtol=1e-3)
+
+
+def test_inference_dp_sharded_matches_unsharded():
+    """mesh= runs encode/decode dp-sharded via shard_map (each shard runs
+    its kernels on its slice of images / pairs); outputs must match the
+    single-device engine bit-for-fp32-tolerance."""
+    from align3r_tpu.parallel.mesh import make_mesh
+    cfg = TINY_TEST
+    params = init_align3r(jax.random.PRNGKey(0), cfg)
+    n, H, W = 5, 32, 48
+    imgs = jax.random.normal(jax.random.PRNGKey(1), (n, H, W, 3))
+    priors = jax.random.uniform(jax.random.PRNGKey(2), (n, H, W, 3))
+    pairs = make_pairs(n, "complete", symmetrize=True)   # 20 edges
+    kw = dict(batch_size=8, encode_chunk=8, dtype=jnp.float32,
+              head_dtype=jnp.float32)
+    ref = inference(pairs, params, cfg, imgs, priors, **kw)
+    mesh = make_mesh(n_data=8)
+    out = inference(pairs, params, cfg, imgs, priors, mesh=mesh, **kw)
+    for side, key in (("pred1", "pts3d"), ("pred2", "pts3d_in_other_view"),
+                      ("pred1", "conf"), ("pred2", "conf")):
+        np.testing.assert_allclose(np.asarray(out[side][key]),
+                                   np.asarray(ref[side][key]),
+                                   atol=1e-5, rtol=1e-5, err_msg=f"{side}.{key}")
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        inference(pairs, params, cfg, imgs, priors, mesh=mesh,
+                  batch_size=6, dtype=jnp.float32)
