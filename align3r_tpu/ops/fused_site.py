@@ -91,7 +91,10 @@ def _kernel(xq_ref, xkv_ref, wq_ref, wk_ref, wv_ref, wo_ref, bqkv_ref,
     k3 = rope_T(kT, Nk)
     v3 = vT.reshape(H, D, Nk)
 
-    # heads streamed: one fp32 (Nq, Nk) logits block alive at a time
+    # heads streamed: one fp32 (Nq, Nk) logits block alive at a time.
+    # The softmax normalisation is folded OUT of the (Nq, Nk) block and
+    # into the (D, Nq) attention output (9x fewer divides per head at
+    # D=64, N=576) — mathematically identical, flash-attention style.
     outs = []
     for h in range(H):
         logits = jax.lax.dot_general(
@@ -99,11 +102,11 @@ def _kernel(xq_ref, xkv_ref, wq_ref, wk_ref, wv_ref, wo_ref, bqkv_ref,
             preferred_element_type=jnp.float32) * scale      # (Nq, Nk)
         m = jnp.max(logits, axis=-1, keepdims=True)
         p = jnp.exp(logits - m)
-        s = jnp.sum(p, axis=-1, keepdims=True)
+        rs = jax.lax.reciprocal(jnp.sum(p, axis=-1))         # (Nq,)
         oh = jax.lax.dot_general(
-            v3[h], (p / s).astype(v3.dtype), (((1,), (1,)), ((), ())),
+            v3[h], p.astype(v3.dtype), (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)              # (D, Nq)
-        outs.append(oh.astype(xq.dtype))
+        outs.append((oh * rs[None, :]).astype(xq.dtype))
     oT = jnp.concatenate(outs, axis=0)              # (C, Nq)
 
     y = jax.lax.dot_general(
