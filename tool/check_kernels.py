@@ -97,6 +97,29 @@ def main():
     ref = fs._mlp_xla(xm, w1, b1, w2, b2, lnp, False, True)
     check("mlp_site fblocked vs XLA (bf16)", got, ref, 0.5)
 
+    # 4) fused attention site at decode shape (folded softmax scale path)
+    G, B, N, C, Hh = 2, 4, 576, 768, 12
+    xa = (jax.random.normal(jax.random.fold_in(key, 13), (G, B, N, C))
+          * 0.3).astype(jnp.bfloat16)
+    wmk = lambda k: jax.random.normal(k, (G, C, C)) * 0.02
+    wq, wk, wv, wo = (wmk(jax.random.fold_in(key, 14 + i)) for i in range(4))
+    bz = jnp.zeros((G, C), jnp.float32)
+    from align3r_tpu.models.rope import make_grid_positions
+    pos = make_grid_positions(18, 32, batch=1)[0]
+    t0 = time.perf_counter()
+    got = fs.attention_site(xa, xa, wq, wk, wv, wo, bz, bz, bz, bz, pos, Hh,
+                            100.0, residual=True)
+    np.asarray(jnp.sum(got.astype(jnp.float32)))
+    print(f"attention_site (G2,B4,N576,C768) compiled+ran in "
+          f"{time.perf_counter()-t0:.1f}s")
+    D = C // Hh
+    cos, sin = fs._rope_tables(pos, D, 100.0, xa.dtype)
+    ref = fs._site_xla(xa, xa, wq, wk, wv, wo, bz, bz, bz, bz, cos, sin,
+                       jnp.zeros((G, 2, C), jnp.float32),
+                       jnp.zeros((G, 2, C), jnp.float32), Hh, False, False,
+                       True, D ** -0.5)
+    check("attention_site vs XLA twin (bf16)", got, ref, 0.5)
+
     print("ALL OK" if ok else "FAILURES PRESENT")
     sys.exit(0 if ok else 1)
 
