@@ -6,6 +6,14 @@ the batched TPU inference engine (unique-image encoding + batched decode).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
+Wedge resilience: the axon TPU tunnel can wedge for an hour+ (any jit hangs
+forever — see CLAUDE.md). The default entry point therefore orchestrates:
+health-probe the chip in a *subprocess* (a wedged tunnel hangs in-process
+jits, so the probe must be killable), run the real measurement in a
+subprocess too, retry with backoff inside a bounded budget, and on
+persistent wedge print a structured last-good record (rc=0, valid JSON)
+instead of a traceback. `python bench.py --inner` runs the raw measurement.
+
 vs_baseline: the reference repo publishes no numbers (BASELINE.md). We use a
 documented estimate of the PyTorch reference on A100: bs=1 per symmetrized
 pair, ViT-L 512x288 with plain (non-flash) attention ≈ 8 pairs/s. This
@@ -15,9 +23,19 @@ trustworthy number.
 from __future__ import annotations
 
 import json
+import os
+import subprocess
+import sys
 import time
 
 import numpy as np
+
+LAST_GOOD_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                              "bench_last_good.json")
+PROBE_TIMEOUT_S = 45
+INNER_TIMEOUT_S = int(os.environ.get("BENCH_INNER_TIMEOUT_S", "1500"))
+BUDGET_S = int(os.environ.get("BENCH_BUDGET_S", "1500"))
+RETRY_SLEEP_S = 90
 
 A100_REFERENCE_PAIRS_PER_SEC = 8.0  # documented estimate, see module docstring
 
@@ -26,6 +44,89 @@ H, W = 288, 512
 BATCH = 32  # engine sweep winner (tool/tune_engine.py r3: bs=32 + fused
             # sites + unroll=3 = 136.9 vs bs=16's 135.1 pairs/s same-run)
 DEC_BATCH = 16  # decode-stage probe batch (bounded by the 16 encoded imgs)
+
+
+def _probe_healthy() -> bool:
+    """Run a tiny jit in a killable subprocess; True iff it completes."""
+    code = ("import jax, jax.numpy as jnp; "
+            "print(float((jnp.ones((8,8))@jnp.ones((8,8))).sum()))")
+    try:
+        r = subprocess.run([sys.executable, "-c", code],
+                           capture_output=True, timeout=PROBE_TIMEOUT_S)
+        return r.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
+def _load_last_good():
+    try:
+        with open(LAST_GOOD_PATH) as f:
+            return json.load(f)
+    except Exception:  # noqa: BLE001
+        return None
+
+
+def orchestrate() -> int:
+    """Health-probe, run the measurement in a subprocess, retry within a
+    bounded budget; on persistent wedge emit a structured last-good record.
+    Always exits 0 with one parseable JSON line (VERDICT r3 Next #2)."""
+    deadline = time.monotonic() + BUDGET_S
+    attempt = 0
+    reason = "unknown"
+    while True:
+        attempt += 1
+        if not _probe_healthy():
+            reason = "tunnel_wedged_probe"
+            sys.stderr.write(f"[bench] probe attempt {attempt}: tunnel "
+                             f"unhealthy\n")
+        else:
+            try:
+                r = subprocess.run(
+                    [sys.executable, os.path.abspath(__file__), "--inner"],
+                    capture_output=True, text=True, timeout=INNER_TIMEOUT_S)
+            except subprocess.TimeoutExpired:
+                r = None
+                reason = "inner_timeout"
+                sys.stderr.write(f"[bench] attempt {attempt}: inner bench "
+                                 f"timed out after {INNER_TIMEOUT_S}s\n")
+            if r is not None:
+                line = None
+                for ln in (r.stdout or "").splitlines():
+                    ln = ln.strip()
+                    if ln.startswith("{") and ln.endswith("}"):
+                        line = ln
+                if r.returncode == 0 and line is not None:
+                    rec = json.loads(line)
+                    rec["ok"] = True
+                    rec["timestamp"] = time.strftime(
+                        "%Y-%m-%dT%H:%M:%SZ", time.gmtime())
+                    try:
+                        with open(LAST_GOOD_PATH, "w") as f:
+                            json.dump(rec, f, indent=1)
+                    except OSError:
+                        pass
+                    print(json.dumps(rec))
+                    return 0
+                reason = f"inner_rc={r.returncode}"
+                sys.stderr.write(f"[bench] attempt {attempt} failed "
+                                 f"(rc={r.returncode}); tail:\n"
+                                 + "\n".join((r.stderr or "")
+                                             .splitlines()[-8:]) + "\n")
+        if time.monotonic() + RETRY_SLEEP_S >= deadline:
+            break
+        time.sleep(RETRY_SLEEP_S)
+    last = _load_last_good()
+    rec = {
+        "metric": "image pairs/sec/chip (ViT-L 512x288, swinstride-5 graph)",
+        "value": (last or {}).get("value", -1.0),
+        "unit": "pairs/s",
+        "vs_baseline": (last or {}).get("vs_baseline", -1.0),
+        "ok": False,
+        "reason": reason,
+        "last_good": last,
+    }
+    print(json.dumps(rec))
+    return 0
 
 
 def main():
@@ -168,4 +269,7 @@ def _bench_alignment():
 
 
 if __name__ == "__main__":
-    main()
+    if "--inner" in sys.argv:
+        main()
+    else:
+        sys.exit(orchestrate())
