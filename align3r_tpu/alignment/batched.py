@@ -84,7 +84,10 @@ def batched_alignment(params_list, masks_list, datas, cfg: SceneConfig,
                                    for d in datas])
             polish_cfg = fast_cfg
         else:
-            polish_cfg = cfg
+            # precision='fp32' (or a pure-fp32 polish off the fused path)
+            # must force the reference-exact fp32 loss even when the caller
+            # passed a fast_solve=True cfg — mirror global_alignment_loop
+            polish_cfg = dataclasses.replace(cfg, fast_solve=False)
         params_s, l2, _ = _batched_scan(params_s, masks_s, data_s, lrs[k:],
                                         polish_cfg, loss_fn, step0=k,
                                         opt_state_s=st_s)

@@ -81,6 +81,11 @@ class DataLoader:
     def __init__(self, dataset, batch_size: int, *, shuffle=True,
                  num_workers: int = 4, world_size=1, rank=0, drop_last=True,
                  prefetch: int = 4):
+        if world_size > 1 and not drop_last:
+            # a ragged final batch would slice unequal per-rank chunks,
+            # desynchronising batch counts across data-parallel ranks and
+            # hanging the first collective of the train step
+            raise ValueError("world_size > 1 requires drop_last=True")
         self.dataset = dataset
         self.batch_size = batch_size
         self.per_rank = batch_size // world_size if world_size > 1 else batch_size

@@ -50,6 +50,11 @@ class TrainArgs:
 
 
 _ORBAX_CKPTR = None
+# meta.json for async orbax saves is deferred until the payload COMMITS:
+# writing it eagerly would leave meta.json newer than (or orphaned from) an
+# interrupted background write. Pending metas are promoted at the next
+# wait point (the following save, or wait_for_checkpoints at exit).
+_PENDING_META: dict = {}
 
 
 def _orbax():
@@ -63,6 +68,17 @@ def _orbax():
     return _ORBAX_CKPTR
 
 
+def _promote_pending_meta():
+    """Write meta.json for every save whose orbax payload has committed.
+    Call ONLY after wait_until_finished(): orbax renames its temp dir on
+    commit, so a present `orbax/` dir after the wait means durable."""
+    for path, meta in list(_PENDING_META.items()):
+        if os.path.isdir(os.path.join(path, "orbax")):
+            with open(os.path.join(path, "meta.json"), "w") as f:
+                json.dump(meta, f)
+        del _PENDING_META[path]
+
+
 def save_checkpoint(path, state, epoch, best_so_far=None,
                     backend: str = "pickle"):
     """backend='pickle': host-gathered numpy pickle (single-host, simple).
@@ -73,15 +89,14 @@ def save_checkpoint(path, state, epoch, best_so_far=None,
     import jax
     os.makedirs(path, exist_ok=True)
     if backend == "orbax":
-        import json as _json
         ck = _orbax()
         ck.wait_until_finished()   # at most one in-flight save
+        _promote_pending_meta()    # prior save committed -> its meta lands
         ck.save(os.path.abspath(os.path.join(path, "orbax")),
                 {"params": state.params, "opt_state": state.opt_state},
                 force=True)
-        with open(os.path.join(path, "meta.json"), "w") as f:
-            _json.dump({"step": int(state.step), "epoch": epoch,
-                        "best_so_far": best_so_far}, f)
+        _PENDING_META[path] = {"step": int(state.step), "epoch": epoch,
+                               "best_so_far": best_so_far}
         return
     import pickle
     flat = jax.tree.map(np.asarray, state.params)
@@ -98,9 +113,13 @@ def load_checkpoint(path, target_state=None):
     structure is restored exactly (orbax otherwise returns plain dicts)."""
     import json as _json
     opath = os.path.join(path, "orbax")
-    if os.path.isdir(opath):
+    # require BOTH the committed payload and its meta — a crash between the
+    # payload commit and the deferred meta write leaves an unusable save
+    if os.path.isdir(opath) and os.path.exists(os.path.join(path,
+                                                            "meta.json")):
         ck = _orbax()
         ck.wait_until_finished()
+        _promote_pending_meta()
         target = (None if target_state is None else
                   {"params": target_state.params,
                    "opt_state": target_state.opt_state})
@@ -119,9 +138,11 @@ def load_checkpoint(path, target_state=None):
 
 def wait_for_checkpoints():
     """Block until any in-flight async orbax save has committed (call
-    before process exit so the last checkpoint is durable)."""
+    before process exit so the last checkpoint is durable), then write
+    the deferred meta.json for committed saves."""
     if _ORBAX_CKPTR is not None:
         _ORBAX_CKPTR.wait_until_finished()
+        _promote_pending_meta()
 
 
 def export_torch_checkpoint(path, params, cfg):
@@ -183,7 +204,8 @@ def train(args: TrainArgs):
     best_so_far = None
     last = os.path.join(args.output_dir, "checkpoint-last")
     if os.path.exists(os.path.join(last, "state.pkl")) \
-            or os.path.isdir(os.path.join(last, "orbax")):  # auto-resume
+            or (os.path.isdir(os.path.join(last, "orbax"))
+                and os.path.exists(os.path.join(last, "meta.json"))):  # auto-resume
         ck = load_checkpoint(last, target_state=state)
         state = TrainState(params=jax.tree.map(jnp.asarray, ck["params"]),
                            opt_state=jax.tree.map(
