@@ -27,7 +27,9 @@ Layout choices (the load-bearing part):
 
 Assumes every row shares ONE position grid (true for the engine: landscape
 batches all use make_grid_positions(gh, gw)); cos/sin arrive as (D, N)
-tables. Inference-path only (no custom VJP) — training keeps the XLA path.
+tables. Differentiable via custom VJPs (XLA-recompute backward — see
+fused_attention_site/fused_mlp_site below): training may opt in with
+attn_impl="fused" (requires remat=False; measured ~neutral vs auto+remat).
 """
 from __future__ import annotations
 

@@ -72,9 +72,11 @@ class ResizedDataset(EasyDataset):
     def set_epoch(self, epoch):
         rng = np.random.default_rng(seed=777 + epoch)
         n_repeats = 1 + (self.new_size - 1) // len(self.dataset)
-        idxs = np.concatenate(
-            [rng.permutation(len(self.dataset)) for _ in range(n_repeats)])
-        self._idxs = idxs[: self.new_size]
+        # ONE permutation tiled (not fresh draws per repeat) — matches the
+        # reference's exact data order under the seed-777 contract
+        # (easy_dataset.py:89-99)
+        perm = rng.permutation(len(self.dataset))
+        self._idxs = np.concatenate([perm] * n_repeats)[: self.new_size]
         self.dataset.set_epoch(epoch)
 
     def __getitem__(self, idx):

@@ -116,7 +116,8 @@ def install_reference_dep_stubs():
     if not _really_installed("torchvision"):
         tv = stub("torchvision")
         tv.transforms = stub("torchvision.transforms", Compose=_Identity,
-                             ToTensor=_Identity, Normalize=_Identity)
+                             ToTensor=_Identity, Normalize=_Identity,
+                             ColorJitter=_Identity)
 
     # --- evo (vo_eval trajectory metrics; unused on the solve path) ---
     if not _really_installed("evo"):

@@ -174,3 +174,35 @@ def test_batched_sampler_ragged_drop_last_false():
     assert sorted(i for i, _ in items) == list(range(10))
     ars = [ar for _, ar in items]
     assert len(set(ars[0:4])) == 1 and len(set(ars[4:8])) == 1
+
+
+def test_resized_dataset_matches_reference_data_order():
+    """Exact seed-777 data-order contract: ResizedDataset must tile ONE
+    epoch permutation exactly like the reference (easy_dataset.py:89-99),
+    not draw fresh permutations per repeat (r3 verdict Weak #7)."""
+    from align3r_tpu.training.data.easy_dataset import ResizedDataset
+    from tests.reference_import import (reference_available,
+                                        reference_on_path,
+                                        install_reference_dep_stubs)
+    if not reference_available():
+        pytest.skip("reference repo not present")
+    install_reference_dep_stubs()
+
+    class Dummy:
+        def __len__(self):
+            return 7
+
+        def set_epoch(self, epoch):
+            pass
+
+    ours = ResizedDataset(23, Dummy())
+    with reference_on_path():
+        from dust3r.datasets.base.easy_dataset import (
+            ResizedDataset as RefResized)
+        theirs = RefResized.__new__(RefResized)
+        theirs.new_size = 23
+        theirs.dataset = Dummy()
+        for epoch in (0, 1, 5):
+            ours.set_epoch(epoch)
+            RefResized.set_epoch(theirs, epoch)
+            np.testing.assert_array_equal(ours._idxs, theirs._idxs_mapping)
