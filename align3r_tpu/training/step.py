@@ -62,20 +62,24 @@ def make_optimizer(params, lr_schedule, weight_decay: float = 0.05,
 
     t_mask = trainable_mask(params)
     f_mask = jax.tree.map(lambda m: not m, t_mask)
-    chain = []
-    # zero updates for frozen params first (optax.masked passes masked-out
-    # leaves through unchanged, so without this frozen grads would be applied)
-    chain.append(optax.masked(optax.set_to_zero(), f_mask))
+    inner_chain = []
     if max_grad_norm:
-        chain.append(optax.clip_by_global_norm(max_grad_norm))
-    inner = optax.adamw(lr_schedule, b1=betas[0], b2=betas[1],
-                        weight_decay=weight_decay, mask=wd_mask)
-    # optimizer state is only allocated for trainable params
-    chain.append(optax.masked(inner, t_mask))
-    tx = optax.chain(*chain)
+        inner_chain.append(optax.clip_by_global_norm(max_grad_norm))
+    inner_chain.append(optax.adamw(lr_schedule, b1=betas[0], b2=betas[1],
+                                   weight_decay=weight_decay, mask=wd_mask))
+    inner = optax.chain(*inner_chain)
     if accum_iter > 1:
-        tx = optax.MultiSteps(tx, every_k_schedule=accum_iter)
-    return tx
+        # MultiSteps INSIDE the trainable mask: its grad accumulator then
+        # exists only for trainable leaves. Outside the mask it would
+        # allocate a full-size acc_grads tree — +2.4 GB instead of +1.2 GB
+        # for ViT-L with the 304M-param encoder frozen (r3 verdict #1; the
+        # bs=4 OOM margin on a 16 GB v5e)
+        inner = optax.MultiSteps(inner, every_k_schedule=accum_iter)
+    # optimizer state is only allocated for trainable params; zero updates
+    # for frozen params first (optax.masked passes masked-out leaves
+    # through unchanged, so without this frozen grads would be applied)
+    return optax.chain(optax.masked(optax.set_to_zero(), f_mask),
+                       optax.masked(inner, t_mask))
 
 
 class TrainState(NamedTuple):
