@@ -32,6 +32,12 @@ def main():
     ap.add_argument("--cpu", action="store_true",
                     help="force the CPU backend (must be set before any "
                          "backend touch; env overrides don't work here)")
+    ap.add_argument("--split", action="store_true",
+                    help="also time fwd-only and fwd+bwd programs to split "
+                         "the step into forward / backward / optimizer")
+    ap.add_argument("--trace", default=None, metavar="DIR",
+                    help="capture a jax.profiler trace of the full step "
+                         "into DIR and print the device-time summary")
     args = ap.parse_args()
 
     import jax
@@ -72,6 +78,7 @@ def main():
     }
     batch = {"view1": view(10), "view2": view(20)}
 
+    step_dt = {}
     for label, kw in (("auto + remat   ", dict(attn_impl="auto", remat=True)),
                       ("fused, no remat", dict(attn_impl="fused",
                                                remat=False))):
@@ -82,6 +89,14 @@ def main():
         ca = compiled.cost_analysis()
         ca = ca[0] if isinstance(ca, (list, tuple)) else ca
         flops = float(ca.get("flops", 0.0))
+        try:
+            ma = compiled.memory_analysis()
+            print(f"  [{label}] memory: args "
+                  f"{ma.argument_size_in_bytes/2**30:.2f} GiB, output "
+                  f"{ma.output_size_in_bytes/2**30:.2f} GiB, temp "
+                  f"{ma.temp_size_in_bytes/2**30:.2f} GiB")
+        except Exception:  # noqa: BLE001 — backend-dependent API
+            pass
 
         st = jax.tree.map(jnp.copy, state)
         st, m = jstep(st, batch)
@@ -91,10 +106,70 @@ def main():
             st, m = jstep(st, batch)
         np.asarray(m["loss"])
         dt = (time.perf_counter() - t0) / args.reps
+        step_dt[label.strip()] = dt
         tfs = flops / dt / 1e12
         print(f"train step [{label}]  {dt*1e3:8.1f} ms/step  "
               f"XLA-counted {flops/1e12:6.2f} TFLOP  ->  {tfs:6.1f} TF/s  "
               f"MFU {tfs/V5E_PEAK_TFLOPS*100:5.1f}% of v5e bf16 peak")
+
+    if args.split:
+        _split(args, cfg, state, batch, step_dt.get("auto + remat"))
+
+    if args.trace:
+        import jax
+        step = make_train_step(tx, cfg, attn_impl="auto", remat=True)
+        jstep = jax.jit(step, donate_argnums=(0,))
+        st = jax.tree.map(jnp.copy, state)
+        st, m = jstep(st, batch)
+        np.asarray(m["loss"])
+        with jax.profiler.trace(args.trace):
+            for _ in range(3):
+                st, m = jstep(st, batch)
+            np.asarray(m["loss"])
+        from parse_trace import find_trace, summarize
+        summarize(find_trace(args.trace), top=25)
+
+
+def _split(args, cfg, state, batch, full_dt):
+    """Pipelined timings of fwd-only and fwd+bwd programs: backward =
+    grad - fwd, optimizer = full step - grad (VERDICT r3 next #1: the MFU
+    statement needs a fwd/bwd split, not just a total)."""
+    import jax
+    import jax.numpy as jnp
+    from align3r_tpu.training.step import loss_fn
+
+    def fwd_only(params, batch):
+        loss, _ = loss_fn(params, batch, cfg, remat=False)
+        return loss
+
+    def fwd_bwd(params, batch):
+        (loss, _), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            params, batch, cfg)
+        # reduce grads to a scalar so nothing is DCE'd but no tree returns
+        return loss + sum(jnp.sum(jnp.abs(g) > 1e30)
+                          for g in jax.tree.leaves(grads)).astype(loss.dtype)
+
+    out = {}
+    for name, fn in (("forward (no remat)", fwd_only),
+                     ("forward+backward  ", fwd_bwd)):
+        jfn = jax.jit(fn)
+        v = jfn(state.params, batch)
+        np.asarray(v)
+        t0 = time.perf_counter()
+        acc = None
+        for _ in range(args.reps):
+            v = jfn(state.params, batch)
+            acc = v if acc is None else acc + v
+        np.asarray(acc)
+        dt = (time.perf_counter() - t0) / args.reps
+        out[name] = dt
+        print(f"split [{name}]  {dt*1e3:8.1f} ms")
+    fwd = out["forward (no remat)"]
+    grad = out["forward+backward  "]
+    print(f"split [backward - forward]  {(grad-fwd)*1e3:8.1f} ms")
+    if full_dt:
+        print(f"split [optimizer+remat overhead]  "
+              f"{(full_dt-grad)*1e3:8.1f} ms  (full step {full_dt*1e3:.1f})")
 
 
 if __name__ == "__main__":
