@@ -7,11 +7,14 @@ dust3r/utils/goem_opt.py (DepthBasedWarping, depth_regularization_si_weighted).
 Loss = pairwise pts3d L1
      + temporal_smoothing_weight · Σ relative-pose-error(consecutive frames)
      + flow_loss_weight · smooth-L1(ego-flow vs RAFT flow, static pixels,
-       enabled after flow_loss_start_epoch · niter, gated off when above
-       flow_loss_thre — the reference latches the gate permanently; we gate
-       per-step, which is equivalent once the solve is past the unstable
-       early phase)
-     + depth_regularize_weight · scale-invariant log-depth reg to init depth.
+       enabled after flow_loss_start_epoch · niter, zeroed on any step where
+       it exceeds flow_loss_thre — the reference's `flow_loss_flag`
+       (optimizer.py:46,542) is WRITE-ONLY, so its gate is per-step too and
+       this matches it exactly; proven by test_reference_solve_parity's
+       flow-term tests)
+     + depth_regularize_weight · scale-invariant log-depth reg to init
+       depth, with dynamic pixels double-weighted via the mask passed as
+       pixel_wise_weight (optimizer.py:550).
 """
 from __future__ import annotations
 
@@ -80,7 +83,10 @@ def flow_forward(params, data: SceneData, cfg: SceneConfig, step=0):
     if cfg.depth_regularize_weight > 0 and data.init_depth is not None:
         depth = get_depthmaps_raw(params, data, cfg).reshape(cfg.n_imgs, H, W)
         init = data.init_depth.reshape(cfg.n_imgs, H, W)
+        # the reference passes the dynamic masks as pixel_wise_weight
+        # (optimizer.py:550): dynamic pixels get weight 2, static 1
         loss = loss + cfg.depth_regularize_weight * \
-            depth_regularization_si_weighted(depth, init)
+            depth_regularization_si_weighted(
+                depth, init, pixel_wise_weight=data.dynamic_masks)
 
     return loss

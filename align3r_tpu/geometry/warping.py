@@ -121,13 +121,29 @@ def smooth_l1_flow_loss(estimate, gt, mask, beta: float = 1.0,
     return (raw * pm).sum() / jnp.clip(pm.sum(), 1.0)
 
 
-def depth_regularization_si_weighted(depth_pred, depth_init, eps: float = 1e-6):
+def depth_regularization_si_weighted(depth_pred, depth_init,
+                                     pixel_wise_weight=None,
+                                     pixel_wise_weight_scale: float = 1.0,
+                                     pixel_wise_weight_bias: float = 1.0,
+                                     eps: float = 1e-6,
+                                     pixel_weight_normalize: bool = False):
     """Scale-invariant log-depth regularisation (goem_opt.py:15-36).
-    depth_*: (B, H, W). Returns scalar."""
+    depth_*: (B, H, W). pixel_wise_weight: optional (B, H, W) — the flow
+    optimizer passes the dynamic masks here (optimizer.py:550), giving
+    dynamic pixels weight scale+bias (=2) and static pixels bias (=1).
+    Returns scalar."""
     dp = jnp.clip(depth_pred, eps)
     di = jnp.clip(depth_init, eps)
     lp, li = jnp.log(dp), jnp.log(di)
     B, H, W = dp.shape
     scale = (li - lp).sum(axis=(1, 2), keepdims=True) / (H * W)
-    si = ((lp - li + scale) ** 2).sum(axis=(1, 2)) / (H * W)
+    if pixel_wise_weight is not None:
+        w = pixel_wise_weight.astype(lp.dtype)
+        if pixel_weight_normalize:
+            norm = jax.lax.stop_gradient(w).reshape(B, -1).max(axis=1)
+            w = w / (norm[:, None, None] + eps)
+        w = w * pixel_wise_weight_scale + pixel_wise_weight_bias
+    else:
+        w = 1.0
+    si = (w * (lp - li + scale) ** 2).sum(axis=(1, 2)) / (H * W)
     return si.mean()

@@ -277,3 +277,183 @@ def test_flow_variant_solve_parity(ref):
     assert _max_pose_err(P_ref, P_jax) < 5e-3, _max_pose_err(P_ref, P_jax)
     np.testing.assert_allclose(f_jax, f_ref, rtol=5e-3)
     np.testing.assert_allclose(d_jax, d_ref, rtol=5e-2, atol=5e-3)
+
+
+def _synthetic_flow_inputs(seed=21):
+    """Smooth synthetic flows + dynamic masks: what get_flow /
+    get_motion_mask_from_pairs would have produced (no RAFT checkpoint is
+    needed to test the loss TERM — the reference precomputes flow into
+    buffers, cloud_opt_flow/optimizer.py:104-111, and forward:520-542 only
+    reads them)."""
+    rng = np.random.default_rng(seed)
+    edges = [(i, j) for i in range(N_IMGS) for j in range(N_IMGS) if i != j]
+    E = len(edges)
+    xx, yy = np.meshgrid(np.arange(W, dtype=np.float32),
+                         np.arange(H, dtype=np.float32))
+    flow_ij = np.stack([
+        np.stack([1.5 * np.sin(xx / W * 2 * np.pi + e),
+                  0.8 * np.cos(yy / H * np.pi + 0.3 * e)], -1)
+        for e in range(E)]).astype(np.float32)
+    flow_ji = -flow_ij + rng.normal(0, 0.1, flow_ij.shape).astype(np.float32)
+    dyn = (rng.random((N_IMGS, H, W)) < 0.25)
+    init_depth = np.stack([2.0 + 0.4 * np.sin(xx / W * 4 + i)
+                           for i in range(N_IMGS)]).astype(np.float32)
+    return flow_ij, flow_ji, dyn, init_depth
+
+
+def _inject_flow_ref(net, flow_ij, flow_ji, dyn, init_depth, weight):
+    """Install the precomputed-flow buffers on the reference net exactly as
+    its ctor would have (flow_(ij|ji): (E,2,H,W); dynamic_masks: list of
+    (H,W) bool; init_depthmap: list of (H,W))."""
+    net.flow_loss_weight = weight
+    net.flow_ij = torch.from_numpy(
+        flow_ij.transpose(0, 3, 1, 2).copy())
+    net.flow_ji = torch.from_numpy(
+        flow_ji.transpose(0, 3, 1, 2).copy())
+    net.dynamic_masks = [torch.from_numpy(d.copy()) for d in dyn]
+    net.init_depthmap = [torch.from_numpy(d.reshape(-1).copy())
+                         for d in init_depth]
+
+
+def _flow_scene(ref, seed, *, weight, thre, start_epoch, depth_reg=0.0):
+    import dataclasses
+    from align3r_tpu.alignment.scene import build_scene, default_masks
+
+    out = _synthetic_scene(seed=seed)
+    view1, view2, pred1, pred2 = _to_torch_views(out)
+    flow_ij, flow_ji, dyn, init_depth = _synthetic_flow_inputs(seed + 100)
+
+    torch.manual_seed(13)
+    net = ref["flow_opt"].PointCloudOptimizer(
+        view1, view2, pred1, pred2, shared_focal=True,
+        temporal_smoothing_weight=0.01, translation_weight=0.1,
+        flow_loss_weight=0.0,          # ctor path needs a RAFT ckpt; the
+        depth_regularize_weight=depth_reg,  # buffers are injected below
+        num_total_iter=NITER, flow_loss_start_epoch=start_epoch,
+        flow_loss_thre=thre, verbose=False)
+    _inject_flow_ref(net, flow_ij, flow_ji, dyn, init_depth, weight)
+
+    cfg, data, params = build_scene(out, cfg_kw=dict(
+        shared_focal=True, temporal_smoothing_weight=0.01,
+        translation_weight=0.1, num_total_iter=NITER,
+        flow_loss_weight=weight, flow_loss_start_epoch=start_epoch,
+        flow_loss_thre=thre, depth_regularize_weight=depth_reg))
+    data = dataclasses.replace(
+        data,
+        flow_ij=jnp.asarray(flow_ij), flow_ji=jnp.asarray(flow_ji),
+        dynamic_masks=jnp.asarray(dyn.astype(np.float32)),
+        init_depth=jnp.asarray(init_depth.reshape(N_IMGS, -1)))
+    params = _copy_ref_init_to_params(net, params, shared_focal=True)
+    masks = default_masks(cfg, params)
+    return net, cfg, data, params, masks
+
+
+def test_flow_term_gate_parity(ref):
+    """Pointwise gate parity of the flow-loss TERM (r3 verdict Missing #2):
+    identical params, four gate corners — before/after the start epoch,
+    threshold off/huge/binding. NB the reference's flow_loss_flag
+    (optimizer.py:46,542) is WRITE-ONLY — its gate is per-step, exactly
+    like ours."""
+    from align3r_tpu.alignment.flow import flow_forward
+
+    for thre in (0.0, 1e6, 1e-3):
+        net, cfg, data, params, _ = _flow_scene(
+            ref, seed=7, weight=0.01, thre=thre, start_epoch=0.1)
+        for epoch in (0, 29, 30, 150, NITER - 1):
+            with torch.no_grad():
+                l_ref = float(net(epoch=epoch))
+            l_jax = float(flow_forward(params, data, cfg, epoch))
+            assert abs(l_ref - l_jax) < 1e-4 * max(1.0, abs(l_ref)), \
+                (thre, epoch, l_ref, l_jax)
+
+
+def test_flow_term_solve_parity(ref):
+    """300 reference-torch-Adam iters vs the JAX scan solve with the flow
+    loss ACTIVE (thre=0 -> never gated once past the start epoch) plus the
+    mask-weighted depth regulariser — the last solver terms that had never
+    been run head-to-head against the reference (r3 verdict next #3)."""
+    from align3r_tpu.alignment.scene import (
+        global_alignment_loop, get_im_poses, get_focals, get_depthmaps_raw)
+    from align3r_tpu.alignment.flow import flow_forward
+
+    net, cfg, data, params, masks = _flow_scene(
+        ref, seed=7, weight=0.01, thre=0.0, start_epoch=0.1, depth_reg=0.05)
+
+    with torch.no_grad():
+        l_ref0 = float(net(epoch=0))
+    l_jax0 = float(flow_forward(params, data, cfg, 0))
+    assert abs(l_ref0 - l_jax0) < 1e-5 * max(1.0, abs(l_ref0))
+
+    ref_losses = _run_ref_loop(ref["flow_base"], net)
+    params_out, jax_losses = global_alignment_loop(
+        params, masks, data, cfg, lr=0.01, niter=NITER, schedule="cosine",
+        lr_min=1e-6, loss_fn=flow_forward, precision="fp32")
+    jax_losses = np.asarray(jax_losses)
+
+    np.testing.assert_allclose(jax_losses[0], ref_losses[0], rtol=1e-5)
+    # iter 50 straddles the flow-loss activation at iter 30
+    np.testing.assert_allclose(jax_losses[50], ref_losses[50], rtol=1e-3)
+    np.testing.assert_allclose(jax_losses[-1], ref_losses[-1], rtol=2e-3)
+
+    with torch.no_grad():
+        P_ref = net.get_im_poses().numpy()
+        f_ref = net.get_focals().numpy().reshape(-1)
+        d_ref = net.get_depthmaps(raw=True).numpy()
+    P_jax = np.asarray(get_im_poses(params_out))
+    f_jax = np.asarray(get_focals(params_out, cfg))
+    d_jax = np.asarray(get_depthmaps_raw(params_out, data, cfg))
+    assert _max_pose_err(P_ref, P_jax) < 5e-3, _max_pose_err(P_ref, P_jax)
+    np.testing.assert_allclose(f_jax, f_ref, rtol=5e-3)
+    np.testing.assert_allclose(d_jax, d_ref, rtol=5e-2, atol=5e-3)
+
+
+def test_flow_gate_is_per_step_not_latched(ref):
+    """The reference sets flow_loss_flag when gating (optimizer.py:542) but
+    NEVER READS it — its gate is per-step. Probe: evaluate once with a
+    binding threshold (flow gated, flag set True on the net), then loosen
+    the threshold on the SAME net object and evaluate again: the flow term
+    comes back, proving the flag is inert. Our stateless per-step gate must
+    match both evaluations."""
+    from align3r_tpu.alignment.flow import flow_forward
+    import dataclasses
+
+    net, cfg, data, params, _ = _flow_scene(
+        ref, seed=7, weight=0.01, thre=1e-3, start_epoch=0.0)
+    with torch.no_grad():
+        l_ref_gated = float(net(epoch=NITER))        # fl >> 1e-3 -> gated
+    assert bool(net.flow_loss_flag), "expected the reference flag to set"
+    net.flow_loss_thre = 1e6                          # loosen on same net
+    with torch.no_grad():
+        l_ref_loose = float(net(epoch=NITER))         # latch would gate
+    assert l_ref_loose > l_ref_gated + 1e-6, \
+        "reference gate is latched?! (flag became load-bearing)"
+
+    l_jax_gated = float(flow_forward(params, data, cfg, NITER))
+    cfg_loose = dataclasses.replace(cfg, flow_loss_thre=1e6)
+    l_jax_loose = float(flow_forward(params, data, cfg_loose, NITER))
+    assert abs(l_ref_gated - l_jax_gated) < 1e-4 * max(1.0, abs(l_ref_gated))
+    assert abs(l_ref_loose - l_jax_loose) < 1e-4 * max(1.0, abs(l_ref_loose))
+
+
+def test_flow_solve_parity_with_binding_threshold(ref):
+    """Short solve where the threshold BINDS at init (gate off, no flow
+    gradient) — both stacks must agree on every step's gating decision for
+    the curves to track."""
+    from align3r_tpu.alignment.scene import global_alignment_loop
+    from align3r_tpu.alignment.flow import flow_forward
+
+    # raw flow-term magnitude at init (difference of weighted/unweighted)
+    net, cfg, data, params, masks = _flow_scene(
+        ref, seed=7, weight=0.01, thre=0.0, start_epoch=0.0)
+    net2, _, _, _, _ = _flow_scene(
+        ref, seed=7, weight=0.0, thre=0.0, start_epoch=0.0)
+    with torch.no_grad():
+        fl0 = (float(net(epoch=0)) - float(net2(epoch=0))) / 0.01
+
+    net, cfg, data, params, masks = _flow_scene(
+        ref, seed=7, weight=0.01, thre=0.8 * fl0, start_epoch=0.0)
+    ref_losses = _run_ref_loop(ref["flow_base"], net, niter=120)
+    _, jax_losses = global_alignment_loop(
+        params, masks, data, cfg, lr=0.01, niter=120, schedule="cosine",
+        lr_min=1e-6, loss_fn=flow_forward, precision="fp32")
+    np.testing.assert_allclose(np.asarray(jax_losses), ref_losses, rtol=2e-3)
