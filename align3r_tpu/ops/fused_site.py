@@ -34,11 +34,23 @@ attn_impl="fused" (requires remat=False; measured ~neutral vs auto+remat).
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
+
+# Heads processed per in-kernel iteration (batched logits/softmax/pv when
+# >1 — see _kernel). Engine-level knob: ALIGN3R_HEAD_GROUP=4 routes every
+# fused site (incl. the custom-VJP training wrappers) through the grouped
+# schedule; tool/profile_site.py is the A/B.
+_DEFAULT_HEAD_GROUP = int(os.environ.get("ALIGN3R_HEAD_GROUP", "1"))
+
+
+def _resolve_hg(num_heads: int, head_group: int | None) -> int:
+    hg = _DEFAULT_HEAD_GROUP if head_group is None else head_group
+    return hg if hg > 0 and num_heads % hg == 0 else 1
 
 
 def _ln(x, scale, bias, eps=1e-6):
@@ -52,7 +64,7 @@ def _ln(x, scale, bias, eps=1e-6):
 
 def _kernel(xq_ref, xkv_ref, wq_ref, wk_ref, wv_ref, wo_ref, bqkv_ref,
             bo_ref, cos_ref, sin_ref, lnq_ref, lnkv_ref, o_ref, *,
-            num_heads, scale, ln_q, ln_kv, residual):
+            num_heads, scale, ln_q, ln_kv, residual, head_group):
     raw = xq_ref[0, 0]                              # (Nq, C) bf16
     xq = _ln(raw, lnq_ref[0, 0:1], lnq_ref[0, 1:2]) if ln_q else raw
     if ln_kv == "same":
@@ -93,22 +105,46 @@ def _kernel(xq_ref, xkv_ref, wq_ref, wk_ref, wv_ref, wo_ref, bqkv_ref,
     k3 = rope_T(kT, Nk)
     v3 = vT.reshape(H, D, Nk)
 
-    # heads streamed: one fp32 (Nq, Nk) logits block alive at a time.
-    # The softmax normalisation is folded OUT of the (Nq, Nk) block and
-    # into the (D, Nq) attention output (9x fewer divides per head at
-    # D=64, N=576) — mathematically identical, flash-attention style.
+    # heads streamed: one fp32 logits block alive at a time. The softmax
+    # normalisation is folded OUT of the (Nq, Nk) block and into the
+    # (D, Nq) attention output (9x fewer divides per head at D=64, N=576)
+    # — mathematically identical, flash-attention style.
+    #
+    # head_group > 1 processes hg heads per iteration via BATCHED
+    # dot_generals and one batched softmax: the hg per-head MXU dots are
+    # independent (no interleaved VPU dependency between them) and the
+    # softmax runs on an (hg, Nq, Nk) block, giving Mosaic's scheduler
+    # larger units to overlap MXU and VPU work across (r3-verdict decode
+    # scheduling experiment; VMEM cost = hg·Nq·Nk fp32 live logits).
     outs = []
-    for h in range(H):
-        logits = jax.lax.dot_general(
-            q3[h], k3[h], (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32) * scale      # (Nq, Nk)
-        m = jnp.max(logits, axis=-1, keepdims=True)
-        p = jnp.exp(logits - m)
-        rs = jax.lax.reciprocal(jnp.sum(p, axis=-1))         # (Nq,)
-        oh = jax.lax.dot_general(
-            v3[h], p.astype(v3.dtype), (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)              # (D, Nq)
-        outs.append((oh * rs[None, :]).astype(xq.dtype))
+    hg = head_group
+    if hg <= 1:
+        for h in range(H):
+            logits = jax.lax.dot_general(
+                q3[h], k3[h], (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32) * scale  # (Nq, Nk)
+            m = jnp.max(logits, axis=-1, keepdims=True)
+            p = jnp.exp(logits - m)
+            rs = jax.lax.reciprocal(jnp.sum(p, axis=-1))     # (Nq,)
+            oh = jax.lax.dot_general(
+                v3[h], p.astype(v3.dtype), (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)          # (D, Nq)
+            outs.append((oh * rs[None, :]).astype(xq.dtype))
+    else:
+        for h0 in range(0, H, hg):
+            logits = jax.lax.dot_general(
+                q3[h0:h0 + hg], k3[h0:h0 + hg],
+                (((1,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32) * scale  # (hg, Nq, Nk)
+            m = jnp.max(logits, axis=-1, keepdims=True)
+            p = jnp.exp(logits - m)
+            rs = jax.lax.reciprocal(jnp.sum(p, axis=-1))     # (hg, Nq)
+            oh = jax.lax.dot_general(
+                v3[h0:h0 + hg], p.astype(v3.dtype),
+                (((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32)          # (hg, D, Nq)
+            outs.append((oh * rs[:, None, :]).astype(xq.dtype)
+                        .reshape(hg * D, Nq))
     oT = jnp.concatenate(outs, axis=0)              # (C, Nq)
 
     y = jax.lax.dot_general(
@@ -119,10 +155,11 @@ def _kernel(xq_ref, xkv_ref, wq_ref, wk_ref, wv_ref, wo_ref, bqkv_ref,
 
 
 @functools.partial(jax.jit, static_argnames=("num_heads", "interpret",
-                                             "ln_q", "ln_kv", "residual"))
+                                             "ln_q", "ln_kv", "residual",
+                                             "head_group"))
 def _call(xq, xkv, wq, wk, wv, wo, bqkv, bo, cos, sin, lnq, lnkv,
           num_heads: int, interpret: bool, ln_q: bool, ln_kv,
-          residual: bool):
+          residual: bool, head_group: int = 1):
     G, B, Nq, C = xq.shape
     Nk = xkv.shape[2]
     D = C // num_heads
@@ -131,8 +168,11 @@ def _call(xq, xkv, wq, wk, wv, wo, bqkv, bo, cos, sin, lnq, lnkv,
                          memory_space=pltpu.VMEM)
     gvec = lambda r: pl.BlockSpec((1, r, C), lambda g, b: (g, 0, 0),
                                   memory_space=pltpu.VMEM)
+    if head_group > 1 and num_heads % head_group != 0:
+        raise ValueError(f"head_group {head_group} must divide {num_heads}")
     kern = functools.partial(_kernel, num_heads=num_heads, scale=D ** -0.5,
-                             ln_q=ln_q, ln_kv=ln_kv, residual=residual)
+                             ln_q=ln_q, ln_kv=ln_kv, residual=residual,
+                             head_group=head_group)
     return pl.pallas_call(
         kern,
         grid=grid,
@@ -428,7 +468,8 @@ def _site_kernel_call(xq, xkv, wq, wk, wv, wo, bq, bk, bv, bo, cos, sin,
                  wv.astype(xq.dtype), wo.astype(xq.dtype),
                  bqkv.astype(jnp.float32),
                  bo.astype(jnp.float32)[:, None, :], cos, sin,
-                 lnq, lnkv, num_heads, interpret, ln_q, ln_kv, residual)
+                 lnq, lnkv, num_heads, interpret, ln_q, ln_kv, residual,
+                 _resolve_hg(num_heads, None))
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(12, 13, 14, 15))
@@ -582,7 +623,8 @@ def supported(x, num_heads: int) -> bool:
 def attention_site(xq, xkv, wq, wk, wv, wo, bq, bk, bv, bo, pos,
                    num_heads: int, rope_base: float | None = 100.0,
                    interpret: bool | None = None,
-                   ln_q=None, ln_kv=None, residual: bool = False):
+                   ln_q=None, ln_kv=None, residual: bool = False,
+                   head_group: int | None = None):
     """Fused [LN+] qkv+RoPE+attention+proj [+residual] for stacked streams.
 
     xq: (G, B, Nq, C) query source; xkv: (G, B, Nk, C) key/value source
@@ -618,4 +660,5 @@ def attention_site(xq, xkv, wq, wk, wv, wo, bq, bk, bv, bo, pos,
     return _call(xq, xkv, wq, wk, wv, wo, bqkv.astype(jnp.float32),
                  bo.astype(jnp.float32)[:, None, :], cos, sin, lnq, lnkv,
                  num_heads, interpret, ln_q is not None,
-                 "same" if ln_kv == "same" else ln_kv is not None, residual)
+                 "same" if ln_kv == "same" else ln_kv is not None, residual,
+                 _resolve_hg(num_heads, head_group))

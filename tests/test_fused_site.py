@@ -89,6 +89,25 @@ def test_cross_site_matches_xla(setup, dtype, tol):
                                np.asarray(ref, np.float32), atol=tol, rtol=tol)
 
 
+@pytest.mark.parametrize("hg", [2, 4])
+def test_head_group_matches_per_head(setup, hg):
+    """head_group>1 (batched multi-head logits/softmax/pv, the r4 decode
+    scheduling experiment) must be numerically identical to the per-head
+    schedule — same op set, same fp32 accumulation, only issue order
+    differs."""
+    x, y, attn, cross, pos = setup
+    ref = attention_site(x, x, *_self_args(attn), pos, H, rope_base=100.0)
+    out = attention_site(x, x, *_self_args(attn), pos, H, rope_base=100.0,
+                         head_group=hg)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+    wq, wk, wv, wo, bq, bk, bv, bo = _cross_args(cross)
+    refc = attention_site(x, y, wq, wk, wv, wo, bq, bk, bv, bo, pos, H,
+                          rope_base=100.0)
+    outc = attention_site(x, y, wq, wk, wv, wo, bq, bk, bv, bo, pos, H,
+                          rope_base=100.0, head_group=hg)
+    np.testing.assert_array_equal(np.asarray(outc), np.asarray(refc))
+
+
 def test_decode_pair_fused_matches_auto():
     """Whole stacked decoder with attn_impl='fused' vs the default path."""
     from align3r_tpu.models.config import Align3RConfig

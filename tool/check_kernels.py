@@ -120,6 +120,14 @@ def main():
                        True, D ** -0.5)
     check("attention_site vs XLA twin (bf16)", got, ref, 0.5)
 
+    # 5) head-grouped schedule (batched in-kernel dot_generals — the one
+    # Mosaic-lowering risk of the r4 scheduling experiment)
+    for hg in (2, 4):
+        got_hg = fs.attention_site(xa, xa, wq, wk, wv, wo, bz, bz, bz, bz,
+                                   pos, Hh, 100.0, residual=True,
+                                   head_group=hg)
+        check(f"attention_site head_group={hg}", got_hg, got, 1e-6)
+
     print("ALL OK" if ok else "FAILURES PRESENT")
     sys.exit(0 if ok else 1)
 

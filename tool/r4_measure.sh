@@ -27,6 +27,12 @@ timeout 2400 python -u tool/ab_bs.py --reps 4 2>&1 | tee /tmp/r4_ab_bs.txt
 
 timeout 1800 python -u tool/profile_align.py 2>&1 | tee /tmp/r4_align.txt
 
+timeout 1800 python -u tool/profile_site.py --reps 30 2>&1 | tee /tmp/r4_site.txt
+
+# whole-decode-program A/B of the winning-looking head group vs default
+timeout 1800 python -u tool/profile_decode.py --which decode --reps 10 2>&1 | tee /tmp/r4_decode_hg1.txt
+ALIGN3R_HEAD_GROUP=4 timeout 1800 python -u tool/profile_decode.py --which decode --reps 10 2>&1 | tee /tmp/r4_decode_hg4.txt
+
 timeout 5400 python -u tool/smoke_eval_tools.py --which all --niter 30 2>&1 | tee /tmp/r4_eval_smoke.txt
 
 echo R4 BATCH DONE
