@@ -3,8 +3,19 @@
 Times the 300-iter Adam solve at the bench shapes (24 frames, 512x288,
 swinstride-5 symmetrized => 220 edges) for the XLA fast path vs the Pallas
 edge kernel, plus solution-quality cross-check against the fp32 polish.
+
+--breakdown attributes the per-iteration cost of the fused path (r3
+verdict next #5: 257 vs self-measured ~300 it/s SOL — prologue or
+kernel-internal?):
+  floor     = scan + Adam update on the param tree, trivial loss
+  prologue  = + pose decode, depth_to_pts3d, pack_points fwd+bwd
+  kernel    = edge-kernel fwd+bwd alone (fixed packed obs, 300-iter scan)
+  full      = the real solve step
+full - prologue should ~= kernel; whichever of (prologue - floor) vs
+kernel dominates the gap is the next lever.
 """
 import argparse
+import functools
 import os
 import sys
 import time
@@ -14,14 +25,113 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
 
+def _prologue_loss(params, data, cfg, step=0):
+    """Everything the fused loss does OUTSIDE the Pallas kernel, capped
+    with a cheap scalar so grads flow through the same prologue graph."""
+    import jax.numpy as jnp
+    from align3r_tpu.ops import edge_loss as el
+    from align3r_tpu.alignment import scene as S
+    meta = S._edge_meta(cfg)
+    pw34 = el.fold_pose_adaptors(S.get_pw_poses(params, cfg),
+                                 S.get_adaptors(params, cfg))
+    proj = S.depth_to_pts3d(params, data, cfg)
+    proj_p = el.pack_points(proj, meta.la, jnp.float32)
+    return (jnp.sum(proj_p) + jnp.sum(pw34)) * 1e-6
+
+
+def _floor_loss(params, data, cfg, step=0):
+    import jax.numpy as jnp
+    return jnp.sum(params["im_poses"] * 1e-6) + jnp.sum(params["im_depthmaps"] * 1e-9)
+
+
+def _fused_full_loss(params, data, cfg, step=0):
+    from align3r_tpu.alignment.scene import _pairwise_pts_loss_fused
+    return _pairwise_pts_loss_fused(params, data, cfg)
+
+
+def _breakdown(cfg, data, params, masks, niter):
+    import dataclasses
+    import jax
+    import jax.numpy as jnp
+    from align3r_tpu.alignment.scene import (global_alignment_loop,
+                                             _pairwise_pts_loss_fused,
+                                             _edge_meta, get_pw_poses,
+                                             get_adaptors, depth_to_pts3d,
+                                             pack_scene)
+    from align3r_tpu.ops import edge_loss as el
+
+    c = dataclasses.replace(cfg, fast_impl="fused")
+    if data.packed_pred is None:        # CPU smoke: build_scene skips packing
+        data = pack_scene(data, c)
+
+    def timed_loop(loss_fn):
+        run = lambda: global_alignment_loop(params, masks, data, c, lr=0.01,
+                                            niter=niter, precision="bf16",
+                                            loss_fn=loss_fn)
+        _, losses = run()
+        np.asarray(losses)
+        t0 = time.perf_counter()
+        _, losses = run()
+        np.asarray(losses)
+        return (time.perf_counter() - t0) / niter
+
+    # kernel-only: 300-iter scan of edge-kernel fwd+bwd w/ fixed packed obs
+    meta = _edge_meta(c)
+    pw34 = el.fold_pose_adaptors(get_pw_poses(params, c),
+                                 get_adaptors(params, c))
+    pw34 = jnp.concatenate([pw34, pw34], axis=0)
+    pad_e = meta.e2 - pw34.shape[0]
+    if pad_e:
+        pw34 = jnp.pad(pw34, [(0, pad_e), (0, 0), (0, 0)])
+    pw34 = pw34.astype(jnp.float32)
+    proj_p = el.pack_points(depth_to_pts3d(params, data, c), meta.la,
+                            jnp.float32)
+
+    def kern_loss(pp, pw):
+        return el.edge_loss(meta, pp, pw, data.packed_pred, data.packed_w,
+                            data.packed_idx)
+
+    @jax.jit
+    def kern_scan(pp0, pw0):
+        def body(carry, _):
+            pp, pw = carry
+            l, (gp, gw) = jax.value_and_grad(kern_loss, argnums=(0, 1))(pp, pw)
+            return (pp - 1e-9 * gp, pw - 1e-9 * gw), l
+        (pp, pw), ls = jax.lax.scan(body, (pp0, pw0), None, length=niter)
+        return ls
+
+    np.asarray(kern_scan(proj_p, pw34))
+    t0 = time.perf_counter()
+    np.asarray(kern_scan(proj_p, pw34))
+    t_kernel = (time.perf_counter() - t0) / niter
+
+    t_floor = timed_loop(_floor_loss)
+    t_prol = timed_loop(_prologue_loss)
+    t_full = timed_loop(_fused_full_loss)
+    print(f"breakdown (ms/iter over {niter}-iter scans):")
+    print(f"  floor (scan+adam)        {t_floor*1e3:7.3f}")
+    print(f"  +prologue (pose/pts/pack){t_prol*1e3:7.3f}"
+          f"   (prologue alone {((t_prol-t_floor))*1e3:.3f})")
+    print(f"  kernel fwd+bwd alone     {t_kernel*1e3:7.3f}")
+    print(f"  full fused step          {t_full*1e3:7.3f}"
+          f"   ({1.0/t_full:.1f} it/s)")
+    print(f"  unattributed (full - prologue - kernel) "
+          f"{(t_full-t_prol-t_kernel)*1e3:.3f}")
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--frames", type=int, default=24)
     ap.add_argument("--niter", type=int, default=300)
     ap.add_argument("--hw", type=int, nargs=2, default=(288, 512))
+    ap.add_argument("--breakdown", action="store_true",
+                    help="per-stage attribution of the fused step")
+    ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
 
     import jax
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
     from align3r_tpu.alignment.scene import (build_scene, default_masks,
                                              global_alignment_loop)
@@ -43,6 +153,10 @@ def main():
     cfg, data, params = build_scene(output)
     masks = default_masks(cfg, params)
     print(f"# frames={n} edges={E} A={H*W}")
+
+    if args.breakdown:
+        _breakdown(cfg, data, params, masks, args.niter)
+        return
 
     import dataclasses
     results = {}

@@ -26,6 +26,7 @@ timeout 2700 python -u bench.py 2>&1 | tee /tmp/r4_bench.txt
 timeout 2400 python -u tool/ab_bs.py --reps 4 2>&1 | tee /tmp/r4_ab_bs.txt
 
 timeout 1800 python -u tool/profile_align.py 2>&1 | tee /tmp/r4_align.txt
+timeout 1800 python -u tool/profile_align.py --breakdown 2>&1 | tee /tmp/r4_align_breakdown.txt
 
 timeout 1800 python -u tool/profile_site.py --reps 30 2>&1 | tee /tmp/r4_site.txt
 
