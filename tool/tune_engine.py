@@ -59,11 +59,20 @@ def main():
             (8, "fused", jnp.bfloat16, True, "xla", 3),
             (16, "fused", jnp.bfloat16, True, "xla", 3)]
 
+    # head_group sweep at the winning-shape config (the knob is a module
+    # default, not an inference() arg): (bs, attn, hd, sh, hci, unroll, hg)
+    from align3r_tpu.ops import fused_site as fs
+    grid = [g + (1,) for g in grid] + [
+        (16, "fused", jnp.bfloat16, False, "xla", 3, 2),
+        (16, "fused", jnp.bfloat16, False, "xla", 3, 4),
+        (32, "fused", jnp.bfloat16, False, "xla", 3, 4)]
+
     results = []
-    for bs, attn, hd, sh, hci, unroll in grid:
+    for bs, attn, hd, sh, hci, unroll, hg in grid:
         label = (f"bs={bs:2d} attn={attn:5s} heads="
                  f"{np.dtype(hd).name:8s} stacked={int(sh)} conv={hci} "
-                 f"u={unroll}")
+                 f"u={unroll} hg={hg}")
+        fs._DEFAULT_HEAD_GROUP = hg
         try:
             def run():
                 out = inference(pairs, params, cfg, imgs, priors,
