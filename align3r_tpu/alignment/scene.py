@@ -337,6 +337,34 @@ def pack_scene(data: SceneData, cfg: SceneConfig,
                                packed_idx=idx.astype(jnp.int32))
 
 
+def depth_to_pts3d_packed(params, data: SceneData, cfg: SceneConfig,
+                          la: int, dtype=jnp.float32):
+    """World-frame points directly in the edge kernel's packed layout
+    (n, 3, la, 128) — same math as `depth_to_pts3d` but built channel-major
+    so no (n, A, 3) <-> (n, 3, A) relayout ever reaches HBM (the moveaxis
+    in pack_points costs a 2·n·A·3·4-byte transpose fwd + bwd PER solve
+    iteration at bench shapes ~42 MB each way)."""
+    depth = get_depthmaps_raw(params, data, cfg)                 # (n, A)
+    f = get_focals(params, cfg)[:, None]                         # (n, 1)
+    pp = get_principal_points(params, data)                      # (n, 2)
+    g = data.grid                                                # (A, 2)
+    relx = depth * (g[None, :, 0] - pp[:, 0:1]) / f
+    rely = depth * (g[None, :, 1] - pp[:, 1:2]) / f
+    P = get_im_poses(params)                                     # (n, 4, 4)
+    R, t = P[:, :3, :3], P[:, :3, 3]
+    # rotation applied elementwise over (n, A) (not a (n,3,3)x(n,3,A)
+    # batched matmul): the whole depth->world chain then fuses into the
+    # single packed output write
+    world = jnp.stack(
+        [R[:, i, 0, None] * relx + R[:, i, 1, None] * rely
+         + R[:, i, 2, None] * depth + t[:, i, None] for i in range(3)],
+        axis=1)                                                  # (n, 3, A)
+    from align3r_tpu.ops.edge_loss import _pad_to
+    world = _pad_to(world, la * 128, -1)
+    n = world.shape[0]
+    return world.reshape(n, 3, la, 128).astype(dtype)
+
+
 def _pairwise_pts_loss_fused(params, data: SceneData, cfg: SceneConfig):
     """Same loss as `pairwise_pts_loss` via the fused Pallas edge-residual
     kernel: no (E, A, 3) intermediates reach HBM, observations stream in
@@ -350,8 +378,7 @@ def _pairwise_pts_loss_fused(params, data: SceneData, cfg: SceneConfig):
     pad_e = meta.e2 - pw34.shape[0]
     if pad_e:
         pw34 = jnp.pad(pw34, [(0, pad_e), (0, 0), (0, 0)])
-    proj = depth_to_pts3d(params, data, cfg)                     # (n, A, 3)
-    proj_p = el.pack_points(proj, meta.la, jnp.float32)
+    proj_p = depth_to_pts3d_packed(params, data, cfg, meta.la)
     return el.edge_loss(meta, proj_p, pw34.astype(jnp.float32),
                         data.packed_pred, data.packed_w, data.packed_idx)
 

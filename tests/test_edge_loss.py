@@ -46,6 +46,37 @@ def test_pack_unpack_roundtrip():
                                np.asarray(pts), rtol=0, atol=0)
 
 
+def test_packed_pts3d_matches_pack_of_depth_to_pts3d():
+    """depth_to_pts3d_packed (channel-major build, no relayout) must equal
+    pack_points(depth_to_pts3d(...)) — incl. under mono scalemaps and
+    per-image principal points."""
+    from align3r_tpu.alignment.scene import (depth_to_pts3d,
+                                             depth_to_pts3d_packed,
+                                             _edge_meta, build_scene)
+    cfg0, data0, params0 = _synthetic_scene()
+    pairs = make_pairs(4, "complete", symmetrize=True)
+    E, H, W = len(pairs), 16, 24
+    ks = jax.random.split(jax.random.PRNGKey(5), 5)
+    output = {
+        "view1": {"idx": np.array([p[0] for p in pairs])},
+        "view2": {"idx": np.array([p[1] for p in pairs])},
+        "pred1": {"pts3d": jax.random.normal(ks[0], (E, H, W, 3)),
+                  "conf": 1 + jax.random.uniform(ks[1], (E, H, W))},
+        "pred2": {"pts3d_in_other_view": jax.random.normal(ks[2], (E, H, W, 3)),
+                  "conf": 1 + jax.random.uniform(ks[3], (E, H, W))},
+    }
+    mono = 1 + jax.random.uniform(ks[4], (4, H * W))
+    cfg1, data1, params1 = build_scene(output, mono_depths=mono)
+    for cfg, data, params in ((cfg0, data0, params0),
+                              (cfg1, data1, params1)):
+        meta = _edge_meta(cfg)
+        ref = el.pack_points(depth_to_pts3d(params, data, cfg), meta.la,
+                             jnp.float32)
+        got = depth_to_pts3d_packed(params, data, cfg, meta.la)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=2e-6, atol=2e-6)
+
+
 def test_fused_loss_and_grads_match_fp32():
     cfg, data, params = _synthetic_scene()
     data_p = pack_scene(data, cfg, dtype=jnp.float32)

@@ -34,8 +34,7 @@ def _prologue_loss(params, data, cfg, step=0):
     meta = S._edge_meta(cfg)
     pw34 = el.fold_pose_adaptors(S.get_pw_poses(params, cfg),
                                  S.get_adaptors(params, cfg))
-    proj = S.depth_to_pts3d(params, data, cfg)
-    proj_p = el.pack_points(proj, meta.la, jnp.float32)
+    proj_p = S.depth_to_pts3d_packed(params, data, cfg, meta.la)
     return (jnp.sum(proj_p) + jnp.sum(pw34)) * 1e-6
 
 
@@ -56,8 +55,7 @@ def _breakdown(cfg, data, params, masks, niter):
     from align3r_tpu.alignment.scene import (global_alignment_loop,
                                              _pairwise_pts_loss_fused,
                                              _edge_meta, get_pw_poses,
-                                             get_adaptors, depth_to_pts3d,
-                                             pack_scene)
+                                             get_adaptors, pack_scene)
     from align3r_tpu.ops import edge_loss as el
 
     c = dataclasses.replace(cfg, fast_impl="fused")
@@ -84,8 +82,8 @@ def _breakdown(cfg, data, params, masks, niter):
     if pad_e:
         pw34 = jnp.pad(pw34, [(0, pad_e), (0, 0), (0, 0)])
     pw34 = pw34.astype(jnp.float32)
-    proj_p = el.pack_points(depth_to_pts3d(params, data, c), meta.la,
-                            jnp.float32)
+    from align3r_tpu.alignment.scene import depth_to_pts3d_packed
+    proj_p = depth_to_pts3d_packed(params, data, c, meta.la)
 
     def kern_loss(pp, pw):
         return el.edge_loss(meta, pp, pw, data.packed_pred, data.packed_w,
