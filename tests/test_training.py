@@ -95,6 +95,27 @@ def test_train_step_decreases_loss_and_freezes_encoder():
                            np.asarray(params["head1"]["head_conv3"]["kernel"]))
 
 
+def test_opt_state_allocates_trainable_only():
+    """The fine-tune memory contract (r3 verdict #1): Adam moments and the
+    MultiSteps grad accumulator must exist ONLY for trainable leaves — a
+    regression here silently costs ~2.4 GB on a ViT-L fine-tune and the
+    bs=4 margin on a 16 GB v5e."""
+    params = init_align3r(jax.random.PRNGKey(0), CFG)
+    sched = make_lr_schedule(1e-3, 1e-5, 0, 10, 10)
+    tx = make_optimizer(params, sched, accum_iter=4, max_grad_norm=1.0)
+    opt_state = tx.init(params)
+
+    n_params = sum(x.size for x in jax.tree.leaves(params))
+    n_trainable = sum(
+        x.size for k, v in params.items() if k in TRAINABLE_KEYS
+        for x in jax.tree.leaves(v))
+    assert n_trainable < n_params  # the freeze list actually bites
+    # opt_state arrays = mu + nu + acc_grads (3x trainable) + scalar counts
+    n_state = sum(x.size for x in jax.tree.leaves(opt_state)
+                  if hasattr(x, "size"))
+    assert n_state <= 3 * n_trainable + 16, (n_state, n_trainable)
+
+
 def test_eval_step_runs():
     params = init_align3r(jax.random.PRNGKey(0), CFG)
     ev = jax.jit(make_eval_step(CFG, dtype=jnp.float32))
