@@ -37,6 +37,30 @@ def trainable_mask(params) -> Dict[str, Any]:
             for k, v in params.items()}
 
 
+def cast_frozen_kernels(params, dtype=jnp.bfloat16):
+    """Store frozen groups' matmul/conv kernels in the compute dtype.
+
+    Every compute path casts `kernel` leaves to the activation dtype at use
+    (nn.dense/conv2d/conv_transpose2d, blocks' grouped dense, fused_site's
+    wq/wk/wv/wo) — so under bf16 compute, storing the frozen encoder's
+    kernels in bf16 is BITWISE identical in the forward while halving their
+    HBM footprint (~600 MB for the 304M-param frozen ViT-L encoder; part
+    of the bs=4 16 GB v5e feasibility budget, VERDICT r3 next #1). Biases
+    and LayerNorm params stay fp32: LN applies them in fp32 (nn.py:46-53)
+    and the fused sites apply biases in fp32 (fused_site.py) — casting
+    those WOULD change numerics. The reference keeps fp32 masters for
+    frozen params under AMP (training.py:291-298 requires_grad=False), so
+    exported checkpoints upcast bf16 kernels back to fp32 — values are
+    exactly what compute used (bf16->fp32 is exact)."""
+    def cast(node):
+        if isinstance(node, dict):
+            return {k: (v.astype(dtype) if k == "kernel" else cast(v))
+                    for k, v in node.items()}
+        return node
+    return {k: (v if k in TRAINABLE_KEYS else cast(v))
+            for k, v in params.items()}
+
+
 def make_lr_schedule(base_lr: float, min_lr: float, warmup_epochs: float,
                      total_epochs: float, steps_per_epoch: int):
     """Per-iter warmup + cosine decay (croco/utils/misc.py:456-471)."""

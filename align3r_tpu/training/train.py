@@ -45,6 +45,7 @@ class TrainArgs:
     print_freq: int = 20
     n_data: Optional[int] = None              # data-parallel mesh size
     ckpt_backend: str = "pickle"              # 'pickle' | 'orbax' (async)
+    cast_frozen: bool = True                  # store frozen kernels in bf16
     profile: bool = False
     max_steps_per_epoch: Optional[int] = None  # for smoke tests
 
@@ -146,9 +147,21 @@ def wait_for_checkpoints():
 
 
 def export_torch_checkpoint(path, params, cfg):
-    """Torch-compatible .pth export (reference checkpoint format)."""
+    """Torch-compatible .pth export (reference checkpoint format).
+
+    Upcasts any bf16 leaves (cast_frozen_kernels storage) back to fp32:
+    bf16->fp32 is exact, so the exported values are precisely what compute
+    used, and the .pth stays in the reference's fp32 master format
+    (numpy has no torch-loadable bfloat16 anyway)."""
+    import jax
     import torch
     from align3r_tpu.models.convert import export_state_dict
+
+    def upcast(x):
+        x = np.asarray(x)
+        return x if x.dtype == np.float32 else np.asarray(x, np.float32)
+
+    params = jax.tree.map(upcast, params)
     sd = {k: torch.from_numpy(np.ascontiguousarray(v))
           for k, v in export_state_dict(params, cfg).items()}
     torch.save({"model": sd}, path)
@@ -165,7 +178,7 @@ def train(args: TrainArgs):
     from align3r_tpu.training.data import get_data_loader
     from align3r_tpu.training.step import (
         make_lr_schedule, make_optimizer, make_train_step, make_eval_step,
-        create_train_state, TrainState)
+        create_train_state, cast_frozen_kernels, TrainState)
 
     # multi-host hook (no-op unless ALIGN3R_DIST/ALIGN3R_COORDINATOR set;
     # reference croco/utils/misc.py:222-243 init_distributed_mode)
@@ -185,6 +198,11 @@ def train(args: TrainArgs):
     if args.pretrained:
         from align3r_tpu.models.convert import load_torch_checkpoint
         params, cfg = load_torch_checkpoint(args.pretrained, cfg)
+    if args.cast_frozen:
+        # bf16 storage for frozen kernels — bitwise-identical forward (the
+        # compute paths cast kernels to the activation dtype at use anyway),
+        # ~600 MB HBM back on ViT-L (see step.cast_frozen_kernels)
+        params = cast_frozen_kernels(params)
 
     # ---- data
     train_loader = get_data_loader(args.train_dataset, args.batch_size,
@@ -207,7 +225,11 @@ def train(args: TrainArgs):
             or (os.path.isdir(os.path.join(last, "orbax"))
                 and os.path.exists(os.path.join(last, "meta.json"))):  # auto-resume
         ck = load_checkpoint(last, target_state=state)
-        state = TrainState(params=jax.tree.map(jnp.asarray, ck["params"]),
+        rparams = jax.tree.map(jnp.asarray, ck["params"])
+        if args.cast_frozen:
+            # idempotent; also covers resuming an fp32-era pickle checkpoint
+            rparams = cast_frozen_kernels(rparams)
+        state = TrainState(params=rparams,
                            opt_state=jax.tree.map(
                                lambda x: jnp.asarray(x) if isinstance(x, np.ndarray) else x,
                                ck["opt_state"]),

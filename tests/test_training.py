@@ -8,7 +8,8 @@ from align3r_tpu.models.config import Align3RConfig
 from align3r_tpu.models.align3r import init_align3r
 from align3r_tpu.training.step import (
     make_optimizer, make_lr_schedule, make_train_step, make_eval_step,
-    create_train_state, trainable_mask, TRAINABLE_KEYS)
+    create_train_state, trainable_mask, cast_frozen_kernels, loss_fn,
+    TRAINABLE_KEYS)
 from align3r_tpu.training.losses import conf_regr3d_loss, regr3d_scale_shift_inv_loss
 from align3r_tpu.parallel.mesh import make_mesh, data_sharding, replicated
 
@@ -114,6 +115,60 @@ def test_opt_state_allocates_trainable_only():
     n_state = sum(x.size for x in jax.tree.leaves(opt_state)
                   if hasattr(x, "size"))
     assert n_state <= 3 * n_trainable + 16, (n_state, n_trainable)
+
+
+def test_cast_frozen_kernels_bitwise_and_dtypes():
+    """bf16 storage for frozen kernels (r4, the bs=4 memory budget): the
+    dtype contract AND the bitwise-forward claim. Every compute path casts
+    kernel leaves to the activation dtype at use, so storing frozen kernels
+    in bf16 must not change a single bit of the bf16-compute loss — this
+    test gates any future use site that applies a frozen kernel at fp32."""
+    params = init_align3r(jax.random.PRNGKey(3), CFG)
+    cast = cast_frozen_kernels(params)
+
+    # dtype contract: frozen kernels bf16; frozen biases/LN fp32 (applied in
+    # fp32 at use — casting them WOULD change numerics); trainable untouched
+    for k, v in cast.items():
+        for path, leaf in jax.tree_util.tree_flatten_with_path(v)[0]:
+            name = path[-1].key if hasattr(path[-1], "key") else None
+            if k in TRAINABLE_KEYS:
+                assert leaf.dtype == jnp.float32, (k, path)
+            elif name == "kernel":
+                assert leaf.dtype == jnp.bfloat16, (k, path)
+            else:
+                assert leaf.dtype == jnp.float32, (k, path)
+
+    batch = make_batch(seed=7)
+    l0, _ = jax.jit(lambda p: loss_fn(p, batch, CFG, dtype=jnp.bfloat16))(params)
+    l1, _ = jax.jit(lambda p: loss_fn(p, batch, CFG, dtype=jnp.bfloat16))(cast)
+    np.testing.assert_array_equal(np.asarray(l0), np.asarray(l1))
+
+    # train step runs on cast params; trainable updates stay fp32
+    tx = make_optimizer(cast, make_lr_schedule(1e-3, 1e-5, 0, 10, 10))
+    state = create_train_state(cast, tx)
+    state, metrics = jax.jit(make_train_step(tx, CFG, dtype=jnp.float32))(
+        state, batch)
+    assert np.isfinite(float(metrics["loss"]))
+    assert state.params["head1"]["head_conv3"]["kernel"].dtype == jnp.float32
+    assert jax.tree.leaves(state.params["enc_blocks"])[0].dtype in (
+        jnp.bfloat16, jnp.float32)
+
+
+def test_export_upcasts_bf16_storage(tmp_path):
+    """export_torch_checkpoint must upcast bf16-stored leaves to fp32
+    exactly (bf16->fp32 is lossless) so the .pth stays reference-format."""
+    import torch
+    from align3r_tpu.training.train import export_torch_checkpoint
+    params = cast_frozen_kernels(init_align3r(jax.random.PRNGKey(4), CFG))
+    path = tmp_path / "ck.pth"
+    export_torch_checkpoint(str(path), jax.tree.map(np.asarray, params), CFG)
+    sd = torch.load(str(path), weights_only=False)["model"]
+    assert all(v.dtype == torch.float32 for v in sd.values())
+    # a frozen kernel round-trips bit-exact: export = stored bf16 -> fp32
+    want = np.asarray(params["enc_blocks"]["attn"]["qkv"]["kernel"][0],
+                      np.float32).T
+    np.testing.assert_array_equal(sd["enc_blocks.0.attn.qkv.weight"].numpy(),
+                                  want)
 
 
 def test_eval_step_runs():

@@ -32,6 +32,10 @@ def main():
     ap.add_argument("--cpu", action="store_true",
                     help="force the CPU backend (must be set before any "
                          "backend touch; env overrides don't work here)")
+    ap.add_argument("--no-cast-frozen", action="store_true",
+                    help="keep frozen kernels in fp32 (default matches the "
+                         "train driver: bf16 storage, bitwise-identical "
+                         "forward, ~600 MB HBM back on ViT-L)")
     ap.add_argument("--split", action="store_true",
                     help="also time fwd-only and fwd+bwd programs to split "
                          "the step into forward / backward / optimizer")
@@ -58,9 +62,16 @@ def main():
         cfg = dataclasses.replace(VIT_L_512, img_size=(H, W))
     key = jax.random.PRNGKey(0)
     params = init_align3r(key, cfg)
+    if not args.no_cast_frozen:
+        from align3r_tpu.training.step import cast_frozen_kernels
+        params = cast_frozen_kernels(params)
     n_params = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(params))
+    p_bytes = sum(int(np.prod(p.shape)) * p.dtype.itemsize
+                  for p in jax.tree.leaves(params))
     print(f"config {cfg.enc_embed_dim}x{cfg.enc_depth}/{cfg.dec_embed_dim}"
-          f"x{cfg.dec_depth} {H}x{W} bs={args.bs}  params {n_params/1e6:.1f}M")
+          f"x{cfg.dec_depth} {H}x{W} bs={args.bs}  params {n_params/1e6:.1f}M"
+          f" ({p_bytes/2**30:.2f} GiB stored,"
+          f" cast_frozen={'off' if args.no_cast_frozen else 'on'})")
 
     lr = make_lr_schedule(1e-5, 1e-7, warmup_epochs=0.5, total_epochs=10,
                           steps_per_epoch=100)
