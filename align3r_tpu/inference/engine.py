@@ -71,11 +71,14 @@ def _decode_batch(params, feat1, feat2, pc1, pc2, cfg: Align3RConfig,
 @functools.partial(jax.jit,
                    static_argnames=("cfg", "img_hw", "dtype", "head_dtype",
                                     "attn_impl", "stacked_heads",
-                                    "head_conv_impl", "unroll"))
+                                    "head_conv_impl", "unroll",
+                                    "head_group"))
 def _decode_batch_jit(params, feat1, feat2, pc1, pc2, cfg, img_hw,
                       dtype=jnp.bfloat16, head_dtype=jnp.float32,
                       attn_impl: str = "auto", stacked_heads: bool = False,
-                      head_conv_impl: str = "xla", unroll: int = 1):
+                      head_conv_impl: str = "xla", unroll: int = 1,
+                      head_group: int = 1):
+    del head_group               # cache-key discriminator, see _decode_all_jit
     return _decode_batch(params, feat1, feat2, pc1, pc2, cfg, img_hw, dtype,
                          head_dtype, attn_impl, stacked_heads, head_conv_impl,
                          unroll)
@@ -115,20 +118,29 @@ def _flat_batches(tree):
 @functools.partial(jax.jit,
                    static_argnames=("cfg", "img_hw", "dtype", "head_dtype",
                                     "attn_impl", "stacked_heads",
-                                    "head_conv_impl", "unroll"))
+                                    "head_conv_impl", "unroll",
+                                    "head_group"))
 def _decode_all_jit(params, feats, pc_tok, bi, bj, cfg, img_hw,
                     dtype=jnp.bfloat16, head_dtype=jnp.float32,
                     attn_impl: str = "auto", stacked_heads: bool = False,
-                    head_conv_impl: str = "xla", unroll: int = 1):
+                    head_conv_impl: str = "xla", unroll: int = 1,
+                    head_group: int = 1):
+    # head_group is a TRACE-TIME module default inside the fused sites
+    # (fused_site._DEFAULT_HEAD_GROUP), invisible to jit's cache keys —
+    # it is passed here purely as a static cache-key discriminator so a
+    # changed knob retraces instead of silently reusing a stale executable
+    del head_group
     outs1, outs2 = _decode_all_scan(params, feats, pc_tok, bi, bj, cfg,
                                     img_hw, dtype, head_dtype, attn_impl,
                                     stacked_heads, head_conv_impl, unroll)
     return _flat_batches(outs1), _flat_batches(outs2)
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "dtype", "attn_impl"))
+@functools.partial(jax.jit, static_argnames=("cfg", "dtype", "attn_impl",
+                                             "head_group"))
 def _encode_all_jit(params, imgs, priors, cfg, dtype=jnp.bfloat16,
-                    attn_impl: str = "auto"):
+                    attn_impl: str = "auto", head_group: int = 1):
+    del head_group               # cache-key discriminator, see _decode_all_jit
     feats, _ = encode_images(params, imgs, cfg, dtype, attn_impl)
     pc_tok, _ = embed_point_cloud(params, priors, cfg, dtype)
     return feats, pc_tok
@@ -153,9 +165,11 @@ def sharded_engine_fns(mesh, cfg, img_hw, dtype, head_dtype, attn_impl,
     (mesh, statics) so repeated inference() calls reuse the compiled
     programs. encode_fn(params, imgs, priors) shards images; decode_fn
     (params, feats, pc_tok, bi, bj) shards each scan step's pair batch."""
+    from align3r_tpu.ops import fused_site as _fs
     key = (mesh, cfg, img_hw, jnp.dtype(dtype).name,
            jnp.dtype(head_dtype).name, attn_impl, stacked_heads,
-           head_conv_impl, unroll, encode_attn_impl)
+           head_conv_impl, unroll, encode_attn_impl,
+           _fs._DEFAULT_HEAD_GROUP)  # trace-time knob -> must key the cache
     hit = _SHARDED_CACHE.get(key)
     if hit is not None:
         return hit
@@ -251,6 +265,13 @@ def inference(pairs: Sequence[Tuple[int, int]], params, cfg: Align3RConfig,
     # (otherwise every decode program re-copies ~900 MB of fp32 weights)
     params = stack_decoder_params(params, dtype)
 
+    # the fused sites read their head_group from a module default at TRACE
+    # time; thread it into every jit below as a static cache-key
+    # discriminator so a changed ALIGN3R_HEAD_GROUP (or a sweep flipping
+    # the module default) retraces instead of reusing stale executables
+    from align3r_tpu.ops import fused_site as _fs
+    _hg = _fs._DEFAULT_HEAD_GROUP
+
     enc_sh = dec_sh = None
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as P
@@ -279,7 +300,7 @@ def inference(pairs: Sequence[Tuple[int, int]], params, cfg: Align3RConfig,
             f, pc = enc_sh(params, im, pr)
         else:
             f, pc = _encode_all_jit(params, im, pr, cfg, dtype,
-                                    encode_attn_impl)
+                                    encode_attn_impl, head_group=_hg)
         feats_l.append(f[: e - s])
         pc_l.append(pc[: e - s])
     feats = jnp.concatenate(feats_l, axis=0)
@@ -312,7 +333,7 @@ def inference(pairs: Sequence[Tuple[int, int]], params, cfg: Align3RConfig,
             r1, r2 = _decode_all_jit(params, feats, pc_tok, ib, jb,
                                      cfg, (H, W), dtype, head_dtype,
                                      attn_impl, stacked_heads,
-                                     head_conv_impl, unroll)
+                                     head_conv_impl, unroll, head_group=_hg)
         outs1.append(r1)
         outs2.append(r2)
     for s in range(n_full, n_batches):
@@ -330,7 +351,8 @@ def inference(pairs: Sequence[Tuple[int, int]], params, cfg: Align3RConfig,
                                    jnp.take(pc_tok, i, axis=0),
                                    jnp.take(pc_tok, j, axis=0),
                                    cfg, (H, W), dtype, head_dtype, attn_impl,
-                                   stacked_heads, head_conv_impl, unroll)
+                                   stacked_heads, head_conv_impl, unroll,
+                                   head_group=_hg)
         outs1.append(r1)
         outs2.append(r2)
     cat = lambda outs: jax.tree.map(lambda *xs: jnp.concatenate(xs, axis=0)[:E],

@@ -49,7 +49,18 @@ _DEFAULT_HEAD_GROUP = int(os.environ.get("ALIGN3R_HEAD_GROUP", "1"))
 
 
 def _resolve_hg(num_heads: int, head_group: int | None) -> int:
-    hg = _DEFAULT_HEAD_GROUP if head_group is None else head_group
+    if head_group is not None:
+        # an EXPLICIT argument must fail loudly — silently coercing to 1
+        # would mislabel profiler A/B data points as grouped schedules
+        if head_group <= 0 or num_heads % head_group:
+            raise ValueError(
+                f"head_group {head_group} must divide num_heads {num_heads}")
+        return head_group
+    hg = _DEFAULT_HEAD_GROUP
+    # the env knob applies engine-wide across sites with different head
+    # counts (encoder 16, decoder 12): fall back per-site where it doesn't
+    # divide, so e.g. ALIGN3R_HEAD_GROUP=4 groups both but =3 only the
+    # decoder
     return hg if hg > 0 and num_heads % hg == 0 else 1
 
 

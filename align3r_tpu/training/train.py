@@ -69,15 +69,30 @@ def _orbax():
     return _ORBAX_CKPTR
 
 
-def _promote_pending_meta():
-    """Write meta.json for every save whose orbax payload has committed.
-    Call ONLY after wait_until_finished(): orbax renames its temp dir on
-    commit, so a present `orbax/` dir after the wait means durable."""
+def _promote_pending_meta(assume_finished: bool = False):
+    """Write meta.json for every save whose orbax payload has COMMITTED.
+
+    Safe to call at ANY time on local filesystems: orbax commits local
+    saves by atomically renaming its tmp dir to the final `orbax/` dir
+    (AtomicRenameTemporaryPath is the default for all non-GCS paths,
+    orbax _src/path/atomicity_defaults.py), so the final dir's existence
+    IS the commit signal — the training loop calls this periodically so a
+    committed checkpoint becomes resumable seconds after the background
+    write lands, not a whole epoch later at the next save. In-flight saves
+    stay pending. assume_finished=True (call only after
+    wait_until_finished) means a still-missing payload is a FAILED save:
+    warn loudly and drop the record rather than silently discarding it."""
     for path, meta in list(_PENDING_META.items()):
         if os.path.isdir(os.path.join(path, "orbax")):
             with open(os.path.join(path, "meta.json"), "w") as f:
                 json.dump(meta, f)
-        del _PENDING_META[path]
+            del _PENDING_META[path]
+        elif assume_finished:
+            import warnings
+            warnings.warn(f"orbax save to {path} finished without a "
+                          f"committed payload — checkpoint unusable, "
+                          f"meta.json not written")
+            del _PENDING_META[path]
 
 
 def save_checkpoint(path, state, epoch, best_so_far=None,
@@ -92,7 +107,7 @@ def save_checkpoint(path, state, epoch, best_so_far=None,
     if backend == "orbax":
         ck = _orbax()
         ck.wait_until_finished()   # at most one in-flight save
-        _promote_pending_meta()    # prior save committed -> its meta lands
+        _promote_pending_meta(assume_finished=True)
         ck.save(os.path.abspath(os.path.join(path, "orbax")),
                 {"params": state.params, "opt_state": state.opt_state},
                 force=True)
@@ -114,13 +129,18 @@ def load_checkpoint(path, target_state=None):
     structure is restored exactly (orbax otherwise returns plain dicts)."""
     import json as _json
     opath = os.path.join(path, "orbax")
+    # promote THIS process's own pending metas first, else a load right
+    # after a save would miss a fully-committed orbax payload whose
+    # deferred meta.json hasn't landed yet and fall through to pickle
+    if _ORBAX_CKPTR is not None:
+        _ORBAX_CKPTR.wait_until_finished()
+        _promote_pending_meta(assume_finished=True)
     # require BOTH the committed payload and its meta — a crash between the
     # payload commit and the deferred meta write leaves an unusable save
     if os.path.isdir(opath) and os.path.exists(os.path.join(path,
                                                             "meta.json")):
         ck = _orbax()
         ck.wait_until_finished()
-        _promote_pending_meta()
         target = (None if target_state is None else
                   {"params": target_state.params,
                    "opt_state": target_state.opt_state})
@@ -143,7 +163,7 @@ def wait_for_checkpoints():
     the deferred meta.json for committed saves."""
     if _ORBAX_CKPTR is not None:
         _ORBAX_CKPTR.wait_until_finished()
-        _promote_pending_meta()
+        _promote_pending_meta(assume_finished=True)
 
 
 def export_torch_checkpoint(path, params, cfg):
@@ -272,6 +292,8 @@ def train(args: TrainArgs):
             if args.max_steps_per_epoch and it >= args.max_steps_per_epoch:
                 break
             state, metrics = train_step(state, put_batch(batch))
+            _promote_pending_meta()  # non-blocking: land meta.json as soon
+            #                          as the async orbax payload commits
             if it % args.print_freq == 0:
                 loss = float(metrics["loss"])
                 assert np.isfinite(loss), f"loss is {loss}, stopping training"

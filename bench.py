@@ -90,13 +90,20 @@ def orchestrate() -> int:
                 sys.stderr.write(f"[bench] attempt {attempt}: inner bench "
                                  f"timed out after {INNER_TIMEOUT_S}s\n")
             if r is not None:
-                line = None
+                rec = None
                 for ln in (r.stdout or "").splitlines():
                     ln = ln.strip()
                     if ln.startswith("{") and ln.endswith("}"):
-                        line = ln
-                if r.returncode == 0 and line is not None:
-                    rec = json.loads(line)
+                        # keep the LAST line that actually parses as the
+                        # metric record — stray dict-repr prints must not
+                        # crash the wedge-resilient orchestrator
+                        try:
+                            cand = json.loads(ln)
+                        except ValueError:
+                            continue
+                        if isinstance(cand, dict) and "metric" in cand:
+                            rec = cand
+                if r.returncode == 0 and rec is not None:
                     rec["ok"] = True
                     rec["timestamp"] = time.strftime(
                         "%Y-%m-%dT%H:%M:%SZ", time.gmtime())

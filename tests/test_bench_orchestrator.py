@@ -45,6 +45,28 @@ def test_success_path_writes_last_good(bench, monkeypatch, capsys):
     assert saved["value"] == 123.0 and "timestamp" in saved
 
 
+def test_stray_brace_lines_do_not_crash(bench, monkeypatch, capsys):
+    """A dict-repr or other non-JSON brace-wrapped line AFTER the metric
+    line must not crash the orchestrator (unguarded json.loads of the last
+    brace line was exactly the rc=1 failure mode this module exists to
+    eliminate)."""
+    inner = json.dumps({"metric": "m", "value": 7.0, "unit": "u",
+                        "vs_baseline": 1.0})
+    monkeypatch.setattr(bench, "_probe_healthy", lambda: True)
+
+    def fake_run(cmd, **kw):
+        return types.SimpleNamespace(
+            returncode=0,
+            stdout=inner + "\n{'enc': 3.97, 'not': 'json'}\n"
+                   + json.dumps({"no_metric_key": 1}) + "\n",
+            stderr="")
+
+    monkeypatch.setattr(bench.subprocess, "run", fake_run)
+    assert bench.orchestrate() == 0
+    out = json.loads(capsys.readouterr().out.strip())
+    assert out["ok"] is True and out["value"] == 7.0
+
+
 def test_wedge_emits_structured_last_good(bench, monkeypatch, capsys):
     json.dump({"value": 99.0, "vs_baseline": 12.0},
               open(bench.LAST_GOOD_PATH, "w"))

@@ -49,6 +49,32 @@ def synth_root(tmp_path_factory):
     return str(root)
 
 
+def test_pending_meta_promotion_semantics(tmp_path):
+    """Deferred orbax meta.json: non-blocking promotion lands meta as soon
+    as the payload's final dir exists (orbax commits local saves by atomic
+    rename), keeps in-flight saves pending, and only drops-with-warning
+    when told the checkpointer has finished (a missing payload then means
+    the background save failed)."""
+    from align3r_tpu.training import train as T
+    p = str(tmp_path / "ck")
+    os.makedirs(p)
+    T._PENDING_META[p] = {"step": 1, "epoch": 0, "best_so_far": None}
+    T._promote_pending_meta()          # not committed -> stays pending
+    assert p in T._PENDING_META
+    assert not os.path.exists(os.path.join(p, "meta.json"))
+    os.makedirs(os.path.join(p, "orbax"))   # commit (atomic rename lands)
+    T._promote_pending_meta()
+    assert p not in T._PENDING_META
+    assert json.load(open(os.path.join(p, "meta.json")))["epoch"] == 0
+    p2 = str(tmp_path / "ck2")
+    os.makedirs(p2)
+    T._PENDING_META[p2] = {"step": 2, "epoch": 1, "best_so_far": None}
+    with pytest.warns(UserWarning):
+        T._promote_pending_meta(assume_finished=True)
+    assert p2 not in T._PENDING_META
+    assert not os.path.exists(os.path.join(p2, "meta.json"))
+
+
 def test_train_driver_end_to_end_with_orbax_resume(synth_root, tmp_path):
     out = str(tmp_path / "run")
     ds = (f"PointodysseyDatasets(split='train', ROOT='{synth_root}', "

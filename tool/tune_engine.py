@@ -72,6 +72,10 @@ def main():
         label = (f"bs={bs:2d} attn={attn:5s} heads="
                  f"{np.dtype(hd).name:8s} stacked={int(sh)} conv={hci} "
                  f"u={unroll} hg={hg}")
+        # the engine keys every jit cache on the module default (static
+        # head_group discriminator, engine.py), so flipping it here
+        # retraces the decode/encode programs instead of silently re-running
+        # the cached hg=1 executables
         fs._DEFAULT_HEAD_GROUP = hg
         try:
             def run():
