@@ -95,8 +95,14 @@ def _fused_pos_ok(pos) -> bool:
     # garbage-collected positions array could recycle its id and a new
     # heterogeneous array would inherit a stale True verdict
     if cached is None or cached[0] is not pos:
-        p = pos.reshape(-1, pos.shape[-2], pos.shape[-1])
-        cached = (pos, bool(np.asarray(jnp.all(p == p[:1]))))
+        # ensure_compile_time_eval: a CONCRETE pos can reach this point
+        # from inside an active jit trace (e.g. jit-of-decode_pair with
+        # positions closed over) — jnp ops there bind into the trace even
+        # on constant inputs, so the reduction must be forced eager or the
+        # host pull raises TracerArrayConversionError
+        with jax.ensure_compile_time_eval():
+            p = pos.reshape(-1, pos.shape[-2], pos.shape[-1])
+            cached = (pos, bool(np.asarray(jnp.all(p == p[:1]))))
         if len(_POS_OK_CACHE) > 64:
             _POS_OK_CACHE.clear()
         _POS_OK_CACHE[key] = cached

@@ -92,6 +92,38 @@ def test_inference_engine_padding_last_batch():
     assert np.isfinite(np.asarray(out["pred1"]["pts3d"])).all()
 
 
+def test_engine_retraces_on_head_group_flip():
+    """head_group is a trace-time module default inside the fused sites,
+    invisible to jax.jit's cache keys; the engine passes it as a static
+    discriminator so a flipped knob RETRACES instead of silently re-running
+    a stale executable (the r4 tune_engine sweep bug). Numerics must be
+    invariant (the knob only reschedules the kernel)."""
+    from align3r_tpu.inference.engine import _decode_batch_jit, _encode_all_jit
+    from align3r_tpu.ops import fused_site as fs
+    cfg = TINY_TEST
+    params = init_align3r(jax.random.PRNGKey(0), cfg)
+    n, H, W = 3, 32, 32
+    imgs = jax.random.normal(jax.random.PRNGKey(3), (n, H, W, 3))
+    priors = jax.random.uniform(jax.random.PRNGKey(4), (n, H, W, 3))
+    pairs = make_pairs(n, "complete", symmetrize=False)
+
+    old = fs._DEFAULT_HEAD_GROUP
+    try:
+        fs._DEFAULT_HEAD_GROUP = 1
+        out1 = inference(pairs, params, cfg, imgs, priors, batch_size=2,
+                         dtype=jnp.float32)
+        n0 = (_decode_batch_jit._cache_size(), _encode_all_jit._cache_size())
+        fs._DEFAULT_HEAD_GROUP = 2
+        out2 = inference(pairs, params, cfg, imgs, priors, batch_size=2,
+                         dtype=jnp.float32)
+        n1 = (_decode_batch_jit._cache_size(), _encode_all_jit._cache_size())
+    finally:
+        fs._DEFAULT_HEAD_GROUP = old
+    assert n1[0] > n0[0] and n1[1] > n0[1], (n0, n1)
+    np.testing.assert_array_equal(np.asarray(out1["pred1"]["pts3d"]),
+                                  np.asarray(out2["pred1"]["pts3d"]))
+
+
 def test_engine_scan_chunk_path_matches_per_batch():
     """With >= 8 batches the engine runs full groups through the one-scan
     decode dispatch; results must equal the per-batch path (same program,

@@ -183,3 +183,28 @@ def test_cosine_pos_embed_model_forward():
          " conf_mode=('exp', 1, inf), enc_embed_dim=32, enc_depth=2, "
          "enc_num_heads=2, dec_embed_dim=32, dec_depth=6, dec_num_heads=2)")
     assert parse_model_string(s).pos_embed == "cosine"
+
+
+def test_fused_pos_ok_concrete_inside_trace():
+    """_fused_pos_ok must work for a CONCRETE positions array evaluated
+    INSIDE an active jit trace (jit-of-decode_pair with positions closed
+    over — the tool/profile_decode path): jnp ops bind into the trace even
+    on constant inputs, so the eager verdict needs ensure_compile_time_eval.
+    Regression for the r4 TracerArrayConversionError."""
+    from align3r_tpu.models.blocks import _fused_pos_ok
+
+    homog = make_grid_positions(3, 4, batch=3)
+    bad = jnp.stack([make_grid_positions(3, 4),
+                     make_grid_positions(3, 4)[::-1]], 0)
+
+    @jax.jit
+    def inside_trace(x):
+        # pos is concrete here even though we're tracing
+        ok = _fused_pos_ok(homog)
+        notok = _fused_pos_ok(bad)
+        return x + (1.0 if ok else 0.0) + (10.0 if notok else 0.0)
+
+    assert float(inside_trace(jnp.zeros(()))) == 1.0   # homog yes, hetero no
+    # eager verdicts unchanged
+    assert _fused_pos_ok(homog) is True
+    assert _fused_pos_ok(bad) is False

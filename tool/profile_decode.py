@@ -69,6 +69,12 @@ def main():
     ap.add_argument("--reps", type=int, default=20)
     ap.add_argument("--which", default="all",
                     help="comma list: attn,decode,heads,matmul")
+    ap.add_argument("--trace", default=None, metavar="DIR",
+                    help="capture a jax.profiler device trace of the "
+                         "engine-default decode loop (fused sites, u3) into "
+                         "DIR and print the per-fusion summary — the "
+                         "VPU-vs-MXU occupancy evidence for the per-site "
+                         "SOL-gap question (VERDICT r3 next #4)")
     args = ap.parse_args()
     which = set(args.which.split(","))
 
@@ -238,6 +244,24 @@ def main():
         dt = timed_calls(heads_both, params["head1"], params["head2"],
                          hooks[0], hooks[1:], reps=max(args.reps // 2, 10))
         print(f"both-heads stacked {dt*1e3:8.3f} ms  ({dt/PB*1e3:.2f} ms/pair both)")
+
+    if args.trace:
+        def dec_tr(params, feat, pcts):
+            h1, h2 = decode_pair(params, feat, pos, feat, pos, pcts, pc_pos,
+                                 cfg, jnp.bfloat16, stacked=True,
+                                 attn_impl="fused", unroll=3)
+            return jnp.sum(h1[-1]) + jnp.sum(h2[-1])
+
+        jfn = jax.jit(dec_tr)
+        np.asarray(jfn(params, feat, pcts))       # compile outside the trace
+        with jax.profiler.trace(args.trace):
+            acc = None
+            for _ in range(5):
+                s = jfn(params, feat, pcts)
+                acc = s if acc is None else acc + s
+            np.asarray(acc)
+        from parse_trace import find_trace, summarize
+        summarize(find_trace(args.trace), top=30)
 
     if "matmul" in which or "all" in which:
         # ceiling check: one big bf16 matmul at decoder MLP size

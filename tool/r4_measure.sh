@@ -69,6 +69,9 @@ stage site 1800 python -u tool/profile_site.py --reps 30
 # whole-decode-program A/B of the winning-looking head group vs default
 stage decode_hg1 1800 python -u tool/profile_decode.py --which decode --reps 10
 stage decode_hg4 1800 env ALIGN3R_HEAD_GROUP=4 python -u tool/profile_decode.py --which decode --reps 10
+# device trace of the engine-default decode loop: the VPU-vs-MXU occupancy
+# evidence for the per-site SOL-gap question (VERDICT r3 next #4)
+stage decode_trace 1800 python -u tool/profile_decode.py --which none --trace /tmp/r4_dtrace
 
 stage eval_smoke 5400 python -u tool/smoke_eval_tools.py --which all --niter 30
 
