@@ -66,6 +66,41 @@ def shard_batch(mesh: Mesh, batch):
     return jax.tree.map(lambda x: jax.device_put(x, s), batch)
 
 
+def zero1_opt_shardings(opt_state, mesh: Mesh, min_size: int = 2 ** 16):
+    """ZeRO-1 optimizer-state sharding specs over the 'data' axis.
+
+    The reference's DDP replicates Adam moments on every rank; ZeRO-1
+    instead gives each data-parallel chip a 1/N slice of the moments and
+    the MultiSteps grad accumulator (~3.6 GB replicated for a ViT-L
+    fine-tune -> ~0.45 GB/chip on an 8-chip mesh). The optimizer update
+    is elementwise over these leaves, so under pjit each chip updates only
+    its slice and XLA inserts exactly one all-gather where the (sharded)
+    updates meet the replicated params — the ZeRO-1 collective — with no
+    change to the update math.
+
+    Each large leaf is sharded along its LARGEST dim divisible by the mesh
+    'data' size (stacked layer trees lead with n_layers, which rarely
+    divides the chip count — the feature dims do). Leaves smaller than
+    min_size elements, or with no divisible dim, stay replicated.
+    """
+    n = mesh.shape["data"]
+    repl = NamedSharding(mesh, P())
+
+    def leaf_sharding(x):
+        shape = getattr(x, "shape", ())
+        size = int(np.prod(shape)) if shape else 0
+        if size < min_size:
+            return repl
+        for d in sorted(range(len(shape)), key=lambda d: -shape[d]):
+            if shape[d] % n == 0:
+                spec = [None] * len(shape)
+                spec[d] = "data"
+                return NamedSharding(mesh, P(*spec))
+        return repl
+
+    return jax.tree.map(leaf_sharding, opt_state)
+
+
 def process_slice(items: Sequence, n_proc: Optional[int] = None,
                   proc_id: Optional[int] = None):
     """Eval-time task parallelism: shard a work list across processes

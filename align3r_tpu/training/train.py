@@ -46,6 +46,8 @@ class TrainArgs:
     n_data: Optional[int] = None              # data-parallel mesh size
     ckpt_backend: str = "pickle"              # 'pickle' | 'orbax' (async)
     cast_frozen: bool = True                  # store frozen kernels in bf16
+    zero1: bool = False                       # shard optimizer state over
+    #                                           the 'data' mesh axis (ZeRO-1)
     profile: bool = False
     max_steps_per_epoch: Optional[int] = None  # for smoke tests
 
@@ -194,7 +196,8 @@ def train(args: TrainArgs):
     from align3r_tpu.models.config import Align3RConfig, VIT_L_512, TINY_TEST, parse_model_string
     from align3r_tpu.models.align3r import init_align3r
     from align3r_tpu.parallel.mesh import (
-        make_mesh, data_sharding, replicated, maybe_init_distributed)
+        make_mesh, data_sharding, replicated, maybe_init_distributed,
+        zero1_opt_shardings)
     from align3r_tpu.training.data import get_data_loader
     from align3r_tpu.training.step import (
         make_lr_schedule, make_optimizer, make_train_step, make_eval_step,
@@ -260,9 +263,20 @@ def train(args: TrainArgs):
 
     mesh = make_mesh(n_data=args.n_data)
     repl, dsh = replicated(mesh), data_sharding(mesh)
-    state = jax.device_put(state, repl)
+    if args.zero1:
+        # params replicated, optimizer state 1/N per chip (ZeRO-1): the
+        # elementwise update runs on each chip's slice; XLA all-gathers
+        # the updates once where they meet the replicated params
+        state_sh = TrainState(
+            params=jax.tree.map(lambda _: repl, state.params),
+            opt_state=zero1_opt_shardings(state.opt_state, mesh),
+            step=repl)
+    else:
+        state_sh = repl
+    state = jax.device_put(state, state_sh)
     train_step = jax.jit(make_train_step(tx, cfg, alpha=args.alpha),
-                         in_shardings=(repl, dsh), out_shardings=(repl, repl),
+                         in_shardings=(state_sh, dsh),
+                         out_shardings=(state_sh, repl),
                          donate_argnums=(0,))
     eval_step = jax.jit(make_eval_step(cfg),
                         in_shardings=(repl, dsh), out_shardings=repl)

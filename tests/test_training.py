@@ -9,7 +9,7 @@ from align3r_tpu.models.align3r import init_align3r
 from align3r_tpu.training.step import (
     make_optimizer, make_lr_schedule, make_train_step, make_eval_step,
     create_train_state, trainable_mask, cast_frozen_kernels, loss_fn,
-    TRAINABLE_KEYS)
+    TrainState, TRAINABLE_KEYS)
 from align3r_tpu.training.losses import conf_regr3d_loss, regr3d_scale_shift_inv_loss
 from align3r_tpu.parallel.mesh import make_mesh, data_sharding, replicated
 
@@ -176,6 +176,47 @@ def test_eval_step_runs():
     ev = jax.jit(make_eval_step(CFG, dtype=jnp.float32))
     loss = ev(params, make_batch(seed=5))
     assert np.isfinite(float(loss))
+
+
+def test_zero1_opt_state_sharding_matches_replicated():
+    """ZeRO-1 (opt state 1/N per chip over the 'data' axis) must produce
+    the same training trajectory as fully-replicated state — the update is
+    elementwise over the sharded leaves, so sharding changes layout, not
+    math — while actually slicing the big moment/accumulator leaves."""
+    from align3r_tpu.parallel.mesh import zero1_opt_shardings
+    jax.clear_caches()
+    mesh = make_mesh(n_data=8)
+    repl, dsh = replicated(mesh), data_sharding(mesh)
+    params = init_align3r(jax.random.PRNGKey(0), CFG)
+    batch = jax.tree.map(lambda x: jax.device_put(x, dsh), make_batch(B=8))
+
+    final = {}
+    for z in (False, True):
+        tx = make_optimizer(params, make_lr_schedule(1e-3, 1e-5, 0, 10, 10),
+                            accum_iter=2)
+        state = create_train_state(params, tx)
+        st_sh = (TrainState(params=jax.tree.map(lambda _: repl, state.params),
+                            opt_state=zero1_opt_shardings(state.opt_state,
+                                                          mesh),
+                            step=repl) if z else repl)
+        state = jax.device_put(state, st_sh)
+        step = jax.jit(make_train_step(tx, CFG, dtype=jnp.float32),
+                       in_shardings=(st_sh, dsh), out_shardings=(st_sh, repl))
+        for _ in range(3):
+            state, metrics = step(state, batch)
+        assert np.isfinite(float(metrics["loss"]))
+        if z:  # the big leaves really are sharded 1/8 per device
+            sharded = [x for x in jax.tree.leaves(state.opt_state)
+                       if hasattr(x, "sharding")
+                       and not x.sharding.is_fully_replicated]
+            assert sharded, "zero1 sharded nothing"
+            frac = (sharded[0].addressable_shards[0].data.size
+                    / sharded[0].size)
+            assert frac == pytest.approx(1 / 8)
+        final[z] = jax.tree.map(np.asarray, state.params)
+
+    for a, b in zip(jax.tree.leaves(final[False]), jax.tree.leaves(final[True])):
+        np.testing.assert_allclose(a, b, atol=1e-6, rtol=1e-6)
 
 
 def test_train_step_sharded_8dev():
