@@ -76,11 +76,31 @@ def init_align3r(key, cfg: Align3RConfig, dtype=jnp.float32) -> Params:
     return params
 
 
+def _ckpt(fn, remat):
+    """Rematerialisation wrapper for a per-layer block function.
+
+    remat: False (save all activations) | True / 'full' (recompute the whole
+    block in the backward — the reference fine-tune's memory posture) |
+    'dots' (save weight-matmul outputs, recompute only elementwise/LN/softmax
+    and the batched attention dots — trades ~1x forward FLOPs of backward
+    recompute for a few MB of saved (B, N, D) activations per layer; only
+    the trainable decoder blocks have a live backward, so the encoder's
+    choice is moot under the fine-tune freeze list)."""
+    if not remat:
+        return fn
+    if remat is True or remat == "full":
+        return jax.checkpoint(fn)
+    if remat == "dots":
+        return jax.checkpoint(
+            fn, policy=jax.checkpoint_policies.dots_with_no_batch_dims_saveable)
+    raise ValueError(f"unknown remat mode {remat!r}")
+
+
 # ---------------------------------------------------------------- encoder
 
 def encode_images(params: Params, imgs: jnp.ndarray, cfg: Align3RConfig,
                   dtype=jnp.bfloat16, attn_impl: str = "auto",
-                  remat: bool = False, unroll: int = 1):
+                  remat: bool | str = False, unroll: int = 1):
     """ViT encoder over a batch of images.
 
     imgs: (B, H, W, 3) NHWC, landscape. Returns (tokens (B, N, D) fp32,
@@ -95,8 +115,7 @@ def encode_images(params: Params, imgs: jnp.ndarray, cfg: Align3RConfig,
     block_fn = functools.partial(B.apply_block, num_heads=cfg.enc_num_heads,
                                  rope_base=cfg.effective_rope_base,
                                  attn_impl=attn_impl)
-    if remat:
-        block_fn = jax.checkpoint(block_fn)
+    block_fn = _ckpt(block_fn, remat)
 
     def body(carry, layer_params):
         return block_fn(layer_params, carry, pos), None
@@ -122,7 +141,7 @@ def _zero_conv(p, x):
 
 def decode_pair(params: Params, feat1, pos1, feat2, pos2, pc_tokens, pc_pos,
                 cfg: Align3RConfig, dtype=jnp.bfloat16, attn_impl: str = "auto",
-                remat: bool = False, stacked: bool = True, unroll: int = 1):
+                remat: bool | str = False, stacked: bool = True, unroll: int = 1):
     """Dual cross-attending decoder with prior injection.
 
     feat1/feat2: (B, N, D_enc) encoder outputs; pc_tokens: (2B, N, D_dec)
@@ -158,9 +177,8 @@ def decode_pair(params: Params, feat1, pos1, feat2, pos2, pc_tokens, pc_pos,
     pc_fn = functools.partial(B.apply_block, num_heads=cfg.dec_num_heads,
                               rope_base=cfg.effective_rope_base,
                               attn_impl=attn_impl)
-    if remat:
-        dec_fn = jax.checkpoint(dec_fn)
-        pc_fn = jax.checkpoint(pc_fn)
+    dec_fn = _ckpt(dec_fn, remat)
+    pc_fn = _ckpt(pc_fn, remat)
 
     take = lambda tree, lo, hi: jax.tree.map(lambda x: x[lo:hi], tree)
 
@@ -169,8 +187,7 @@ def decode_pair(params: Params, feat1, pos1, feat2, pos2, pc_tokens, pc_pos,
                                      num_heads=cfg.dec_num_heads,
                                      rope_base=cfg.effective_rope_base,
                                      attn_impl=attn_impl)
-        if remat:
-            dec_s_fn = jax.checkpoint(dec_s_fn)
+        dec_s_fn = _ckpt(dec_s_fn, remat)
         # per-layer params stacked over the stream axis: (L, 2, ...).
         # stack_decoder_params pre-computes this once per weight set; the
         # inline fallback re-copies the decoder weights inside every decode
@@ -318,7 +335,7 @@ def stack_decoder_params(params: Params, dtype=jnp.bfloat16) -> Params:
 def apply_align3r(params: Params, view1: Dict[str, jnp.ndarray],
                   view2: Dict[str, jnp.ndarray], cfg: Align3RConfig,
                   dtype=jnp.bfloat16, attn_impl: str = "auto",
-                  remat: bool = False) -> Tuple[Dict, Dict]:
+                  remat: bool | str = False) -> Tuple[Dict, Dict]:
     """Full two-view forward.
 
     view*: dicts with 'img' (B, H, W, 3) and 'pred_depth' (B, H, W, 3)

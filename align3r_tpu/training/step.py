@@ -134,7 +134,7 @@ def freeze_params(params) -> Dict[str, Any]:
 
 
 def loss_fn(params, batch, cfg: Align3RConfig, alpha: float = 0.2,
-            dtype=jnp.bfloat16, remat: bool = True, attn_impl: str = "auto",
+            dtype=jnp.bfloat16, remat: bool | str = True, attn_impl: str = "auto",
             freeze: bool = True):
     """batch: {'view1': {...gt+inputs...}, 'view2': {...}} with per-view keys
     img, pred_depth (inputs) and pts3d, camera_pose, valid_mask (targets).
@@ -152,7 +152,7 @@ def loss_fn(params, batch, cfg: Align3RConfig, alpha: float = 0.2,
 
 
 def make_train_step(tx, cfg: Align3RConfig, alpha: float = 0.2,
-                    dtype=jnp.bfloat16, remat: bool = True,
+                    dtype=jnp.bfloat16, remat: bool | str = True,
                     attn_impl: str = "auto", freeze: bool = True):
     def train_step(state: TrainState, batch) -> Tuple[TrainState, Dict]:
         (loss, details), grads = jax.value_and_grad(loss_fn, has_aux=True)(

@@ -48,6 +48,8 @@ class TrainArgs:
     cast_frozen: bool = True                  # store frozen kernels in bf16
     zero1: bool = False                       # shard optimizer state over
     #                                           the 'data' mesh axis (ZeRO-1)
+    remat: str = "full"                       # 'none' | 'full' | 'dots'
+    #                                           (models.align3r._ckpt)
     profile: bool = False
     max_steps_per_epoch: Optional[int] = None  # for smoke tests
 
@@ -274,7 +276,9 @@ def train(args: TrainArgs):
     else:
         state_sh = repl
     state = jax.device_put(state, state_sh)
-    train_step = jax.jit(make_train_step(tx, cfg, alpha=args.alpha),
+    train_step = jax.jit(make_train_step(tx, cfg, alpha=args.alpha,
+                                         remat=(False if args.remat == "none"
+                                                else args.remat)),
                          in_shardings=(state_sh, dsh),
                          out_shardings=(state_sh, repl),
                          donate_argnums=(0,))

@@ -178,6 +178,26 @@ def test_eval_step_runs():
     assert np.isfinite(float(loss))
 
 
+def test_remat_modes_identical_grads():
+    """remat=False / True ('full') / 'dots' change WHAT the backward saves,
+    never the math: loss and gradients must agree to fp32 roundoff."""
+    params = init_align3r(jax.random.PRNGKey(0), CFG)
+    batch = make_batch(B=2)
+    out = {}
+    for mode in (False, True, "dots"):
+        g = jax.jit(jax.value_and_grad(
+            lambda p: loss_fn(p, batch, CFG, dtype=jnp.float32,
+                              remat=mode)[0]))(params)
+        out[mode] = (float(g[0]), jax.tree.map(np.asarray, g[1]))
+    for mode in (True, "dots"):
+        assert out[mode][0] == pytest.approx(out[False][0], rel=1e-6)
+        for a, b in zip(jax.tree.leaves(out[False][1]),
+                        jax.tree.leaves(out[mode][1])):
+            np.testing.assert_allclose(a, b, atol=1e-5, rtol=1e-5)
+    with pytest.raises(ValueError):
+        loss_fn(params, batch, CFG, dtype=jnp.float32, remat="bogus")
+
+
 def test_zero1_opt_state_sharding_matches_replicated():
     """ZeRO-1 (opt state 1/N per chip over the 'data' axis) must produce
     the same training trajectory as fully-replicated state — the update is

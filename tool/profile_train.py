@@ -36,6 +36,10 @@ def main():
                     help="keep frozen kernels in fp32 (default matches the "
                          "train driver: bf16 storage, bitwise-identical "
                          "forward, ~600 MB HBM back on ViT-L)")
+    ap.add_argument("--remat-ab", action="store_true",
+                    help="add a remat='dots' row (save weight-matmul "
+                         "outputs, recompute only elementwise/attention in "
+                         "the backward) to the attn/remat A/B")
     ap.add_argument("--split", action="store_true",
                     help="also time fwd-only and fwd+bwd programs to split "
                          "the step into forward / backward / optimizer")
@@ -90,9 +94,12 @@ def main():
     batch = {"view1": view(10), "view2": view(20)}
 
     step_dt = {}
-    for label, kw in (("auto + remat   ", dict(attn_impl="auto", remat=True)),
-                      ("fused, no remat", dict(attn_impl="fused",
-                                               remat=False))):
+    rows = [("auto + remat   ", dict(attn_impl="auto", remat=True)),
+            ("fused, no remat", dict(attn_impl="fused", remat=False))]
+    if args.remat_ab:
+        rows.append(("auto + dots    ", dict(attn_impl="auto",
+                                             remat="dots")))
+    for label, kw in rows:
         step = make_train_step(tx, cfg, **kw)
         jstep = jax.jit(step, donate_argnums=(0,))
         lowered = jstep.lower(state, batch)

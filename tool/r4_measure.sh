@@ -41,6 +41,7 @@ stage kernels 900 python -u tool/check_kernels.py
 [ -f /tmp/r4_kernels.done ] || { echo "KERNEL CHECK FAILED"; exit 1; }
 
 stage train_bs2 2400 python -u tool/profile_train.py --bs 2 --reps 5 --split
+stage train_remat 2400 python -u tool/profile_train.py --bs 2 --reps 5 --remat-ab
 stage train_bs4 2400 python -u tool/profile_train.py --bs 4 --reps 5
 stage train_trace 2400 python -u tool/profile_train.py --bs 2 --reps 3 --trace /tmp/r4_ttrace
 
