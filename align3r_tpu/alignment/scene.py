@@ -106,7 +106,14 @@ class SceneData:
     # lane-packed observations for the fused Pallas edge kernel (pack_scene)
     packed_pred: Optional[jnp.ndarray] = None  # (E2, 3, La, 128)
     packed_w: Optional[jnp.ndarray] = None     # (E2, La, 128), 1/(E*A) folded in
-    packed_idx: Optional[jnp.ndarray] = None   # (E2,) int32
+    packed_idx: Optional[jnp.ndarray] = None   # (E2,) int32 (chunk-local
+    #                                            when the kernel is chunked)
+    packed_perm: Optional[jnp.ndarray] = None  # (E2,) int32: original term
+    #                                            slot per packed slot (pw34 order)
+    packed_chunk: Optional[jnp.ndarray] = None  # (e_tiles,) int32 chunk per
+    #                                             e-tile (chunked kernel only)
+    packed_first: Optional[jnp.ndarray] = None  # (e_tiles,) int32 1 = first
+    #                                             e-tile of its chunk
 
 
 def build_scene(output: Dict, cfg_kw: Dict | None = None,
@@ -300,25 +307,72 @@ def _pairwise_pts_loss_bf16(params, data: SceneData, cfg: SceneConfig):
 
 
 def _edge_meta(cfg: SceneConfig, n_imgs=None):
-    """Static kernel geometry for the fused edge kernel (ops/edge_loss.py)."""
+    """Static kernel geometry for the fused edge kernel (ops/edge_loss.py).
+
+    Derivable from cfg ALONE (not the edge graph): pack_scene and the
+    per-iteration loss must agree on every static shape. For the chunked
+    kernel the flat term count uses the worst-case per-chunk padding
+    eb*(ceil(2E/eb) + n_chunks) — pack_scene fills the slack with
+    zero-weight dummy tiles on the last chunk."""
     from align3r_tpu.ops import edge_loss as el
     H, W = cfg.imshape
     A = H * W
     la0 = -(-A // 128)
     e2 = 2 * cfg.n_edges
     n = n_imgs or cfg.n_imgs
-    rb, eb = el.choose_blocks(n)
+    rb, eb, nc = el.choose_blocks(n)
     la = -(-la0 // rb) * rb
-    e2 = -(-e2 // eb) * eb
+    if nc:
+        n_chunks = -(-n // nc)
+        n = n_chunks * nc
+        e2 = (-(-e2 // eb) + n_chunks) * eb
+    else:
+        e2 = -(-e2 // eb) * eb
     import jax as _jax
     interpret = _jax.default_backend() not in ("tpu", "axon")
-    return el.EdgeMeta(n=n, e2=e2, la=la, rb=rb, eb=eb, interpret=interpret)
+    return el.EdgeMeta(n=n, e2=e2, la=la, rb=rb, eb=eb, nc=nc,
+                       interpret=interpret)
+
+
+def _chunk_layout(idx_np: np.ndarray, meta) -> tuple:
+    """Static chunked term layout: terms sorted by image, each chunk's list
+    padded to an eb boundary (so no e-tile straddles two resident blocks),
+    worst-case slack appended as last-chunk dummy tiles.
+
+    Returns (slots (e2,) original term slot with -1 = dummy,
+             idx_local (e2,), chunk_of_tile (e_tiles,), first (e_tiles,))."""
+    eb, nc, C = meta.eb, meta.nc, meta.n_chunks
+    order = np.argsort(idx_np, kind="stable")
+    slots, chunks, first = [], [], []
+    start = 0
+    for c in range(C):
+        stop = int(np.searchsorted(idx_np[order], (c + 1) * nc, side="left"))
+        sel = order[start:stop]
+        start = stop
+        cnt = max(-(-len(sel) // eb), 1) * eb     # >=1 tile even when empty
+        slots.extend(sel.tolist())
+        slots.extend([-1] * (cnt - len(sel)))
+        tiles = cnt // eb
+        chunks.extend([c] * tiles)
+        first.extend([1] + [0] * (tiles - 1))
+    rem = meta.e2 - len(slots)
+    assert rem >= 0 and rem % eb == 0, (meta, len(slots))
+    slots.extend([-1] * rem)
+    chunks.extend([C - 1] * (rem // eb))
+    first.extend([0] * (rem // eb))
+    slots = np.asarray(slots, np.int32)
+    perm = np.where(slots >= 0, slots, 0).astype(np.int32)
+    idx_local = np.where(slots >= 0, idx_np[perm] % nc, 0).astype(np.int32)
+    return (slots, idx_local, np.asarray(chunks, np.int32),
+            np.asarray(first, np.int32))
 
 
 def pack_scene(data: SceneData, cfg: SceneConfig,
                dtype=jnp.bfloat16) -> SceneData:
     """One-time packing of the frozen observations into the fused kernel's
-    lane layout (done before the solve; ~1 pass over the data)."""
+    lane layout (done before the solve; ~1 pass over the data). For scenes
+    beyond the single-chunk VMEM residency bound, edge terms are sorted by
+    image into nc-image chunks (ops/edge_loss.py chunked kernel)."""
     from align3r_tpu.ops import edge_loss as el
     meta = _edge_meta(cfg)
     A = data.grid.shape[0]
@@ -328,13 +382,27 @@ def pack_scene(data: SceneData, cfg: SceneConfig,
     idx = jnp.concatenate([data.ei, data.ej], axis=0)
     pred_p = el.pack_points(pred, meta.la, dtype)
     w_p = el.pack_scalars(w, meta.la, dtype)
+    if meta.nc:
+        slots, idx_local, chunk, first = _chunk_layout(
+            np.asarray(idx, np.int64), meta)
+        valid = slots >= 0
+        pred_p = pred_p[slots * valid]                 # dummy -> term 0 copy
+        w_p = w_p[slots * valid] * jnp.asarray(valid, w_p.dtype)[:, None, None]
+        return dataclasses.replace(
+            data, packed_pred=pred_p, packed_w=w_p,
+            packed_idx=jnp.asarray(idx_local),
+            packed_perm=jnp.asarray(np.where(valid, slots, 0).astype(np.int32)),
+            packed_chunk=jnp.asarray(chunk), packed_first=jnp.asarray(first))
     pad_e = meta.e2 - 2 * E
     if pad_e:
         pred_p = jnp.pad(pred_p, [(0, pad_e), (0, 0), (0, 0), (0, 0)])
         w_p = jnp.pad(w_p, [(0, pad_e), (0, 0), (0, 0)])
         idx = jnp.pad(idx, [(0, pad_e)])
+    perm = np.concatenate([np.arange(2 * E, dtype=np.int32),
+                           np.zeros(pad_e, np.int32)])
     return dataclasses.replace(data, packed_pred=pred_p, packed_w=w_p,
-                               packed_idx=idx.astype(jnp.int32))
+                               packed_idx=idx.astype(jnp.int32),
+                               packed_perm=jnp.asarray(perm))
 
 
 def depth_to_pts3d_packed(params, data: SceneData, cfg: SceneConfig,
@@ -374,35 +442,39 @@ def _pairwise_pts_loss_fused(params, data: SceneData, cfg: SceneConfig):
     pw = get_pw_poses(params, cfg)                               # (E, 4, 4)
     adapt = get_adaptors(params, cfg)                            # (E, 3)
     pw34 = el.fold_pose_adaptors(pw, adapt)                      # (E, 3, 4)
-    pw34 = jnp.concatenate([pw34, pw34], axis=0)
-    pad_e = meta.e2 - pw34.shape[0]
-    if pad_e:
-        pw34 = jnp.pad(pw34, [(0, pad_e), (0, 0), (0, 0)])
+    pw34 = jnp.concatenate([pw34, pw34], axis=0)                 # (2E, 3, 4)
+    # pack order: sorted-by-image + per-chunk padding when chunked, padded
+    # identity otherwise; dummy slots read row 0 (their weight is 0, so
+    # both the loss contribution and the scattered-back gradient are 0)
+    pw34 = jnp.take(pw34, data.packed_perm, axis=0)              # (e2, 3, 4)
     proj_p = depth_to_pts3d_packed(params, data, cfg, meta.la)
+    if meta.nc and proj_p.shape[0] < meta.n:                     # pad images
+        proj_p = jnp.pad(proj_p, [(0, meta.n - proj_p.shape[0]),
+                                  (0, 0), (0, 0), (0, 0)])
     return el.edge_loss(meta, proj_p, pw34.astype(jnp.float32),
-                        data.packed_pred, data.packed_w, data.packed_idx)
+                        data.packed_pred, data.packed_w, data.packed_idx,
+                        data.packed_chunk, data.packed_first)
 
 
 def fused_supported(cfg: SceneConfig) -> bool:
-    """The fused kernel keeps (n, 3, rb, 128) proj + d_proj blocks resident
-    in VMEM; rb shrinks to 8 for image-heavy scenes (ops/edge_loss.py
-    choose_blocks), which stretches the bound to n ~ 256 before the XLA
-    one-hot path takes over."""
-    n = cfg.n_imgs
-    return 2 * n * 3 * 8 * 128 * 8 <= 12 * 2 ** 20
+    """Image count no longer bounds the fused kernel (scenes beyond the
+    single-chunk VMEM residency switch to the image-chunked kernel,
+    ops/edge_loss.py); the remaining bound is the backward's VMEM-resident
+    (e2, 128) per-term pose-gradient accumulator — edge-count, not
+    image-count."""
+    return 2 * cfg.n_edges * 128 * 4 <= 12 * 2 ** 20   # e2 <~ 24.5k terms
 
 def resolve_fast_impl(cfg: SceneConfig) -> str:
     impl = cfg.fast_impl
     if impl == "auto":
         impl = "fused" if jax.default_backend() in ("tpu", "axon") else "xla"
     if impl == "fused" and not fused_supported(cfg):
-        # Silent 2-3x solve-speed cliff otherwise (VERDICT r2 Weak #5):
-        # hierarchical clips keep real workloads under the cap, so a direct
-        # >128-image solve is almost always a configuration mistake.
+        # Silent 2-3x solve-speed cliff otherwise (VERDICT r2 Weak #5).
         warnings.warn(
-            f"fused edge-residual solve disabled: n_imgs={cfg.n_imgs} exceeds "
-            "the VMEM-residency cap (~256); falling back to the "
-            "2-3x slower XLA one-hot path. Consider hierarchical clips "
+            f"fused edge-residual solve disabled: n_edges={cfg.n_edges} "
+            "exceeds the VMEM bound on the per-term pose-gradient "
+            "accumulator (~12k edges); falling back to the 2-3x slower XLA "
+            "one-hot path. Consider hierarchical clips "
             "(tool/pose_test.py --hierarchical).", stacklevel=2)
         impl = "xla"
     return impl

@@ -50,11 +50,14 @@ EPS = 1e-12  # must match geometry.core.safe_norm
 @dataclasses.dataclass(frozen=True)
 class EdgeMeta:
     """Static kernel geometry (hashable: used as nondiff custom_vjp arg)."""
-    n: int          # number of images
+    n: int          # number of images (padded to a multiple of nc)
     e2: int         # padded flat edge-term count (multiple of eb)
     la: int         # padded A // 128 (multiple of rb)
     rb: int         # sublane rows per A tile
     eb: int         # edge terms per grid step
+    nc: int = 0     # images per VMEM-resident chunk (0 = all n: legacy
+    #                 single-chunk kernel; >0 = image-chunked kernel for
+    #                 scenes too large to keep (n, 3, rb, 128) resident)
     interpret: bool = False
 
     @property
@@ -64,6 +67,15 @@ class EdgeMeta:
     @property
     def e_tiles(self) -> int:
         return self.e2 // self.eb
+
+    @property
+    def n_chunks(self) -> int:
+        return 1 if self.nc == 0 else self.n // self.nc
+
+    @property
+    def chunk_rows(self) -> int:
+        """Image rows per resident proj/d_proj block."""
+        return self.n if self.nc == 0 else self.nc
 
 
 # Scoped-VMEM cap for the pallas_calls. The 16 MB Mosaic default is too
@@ -75,23 +87,39 @@ _VMEM_LIMIT = 48 * 1024 * 1024
 
 
 def choose_blocks(n: int, vmem_budget: int = 9 * 2 ** 20):
-    """Pick (rb, eb) so the resident proj + d_proj blocks fit VMEM.
+    """Pick (rb, eb, nc) so the resident proj + d_proj blocks fit VMEM.
 
-    Only `n` matters: the resident set is the (n, 3, rb, 128) proj +
-    d_proj blocks; the streamed pred/w blocks scale with eb (fixed at 8)
-    and are small. Backward VMEM ~= 2 buffers * n*3*rb*128 * (4 + 4)
-    bytes (fp32 proj + fp32 accumulator) + streamed blocks.
+    Only `n` matters: the resident set is the (n', 3, rb, 128) proj +
+    d_proj blocks (n' = n for the single-chunk kernel, nc for the
+    image-chunked one); the streamed pred/w blocks scale with eb (fixed
+    at 8) and are small. Backward VMEM ~= 2 buffers * n'*3*rb*128 *
+    (4 + 4) bytes (fp32 proj + fp32 accumulator) + streamed blocks.
+
+    nc = 0 keeps the whole scene resident (legacy kernel); when even rb=8
+    busts the budget (n beyond ~256) the scene is split into nc-image
+    chunks instead of falling back to the XLA path — edge terms are sorted
+    by image at pack time so each inner-loop step touches exactly one
+    resident chunk and total HBM traffic is unchanged.
     """
     eb = 8
-    # prefer tall row blocks; fall back to rb=8 for image-heavy scenes so
-    # the VMEM residency bound stretches to n ~ 256 before the XLA path
-    # takes over (fp32 min sublane tile is 8, so rb=8 stays tile-aligned)
-    rb = 8
-    for cand in (16, 32, 64):
-        if (2 * n * 3 * cand * 128 * 8
-                + 2 * eb * 4 * cand * 128 * 4) <= vmem_budget:
-            rb = cand
-    return rb, eb
+
+    def fits(nn, rr):
+        return (2 * nn * 3 * rr * 128 * 8
+                + 2 * eb * 4 * rr * 128 * 4) <= vmem_budget
+
+    # prefer tall row blocks; fall back to rb=8 for image-heavy scenes
+    # (fp32 min sublane tile is 8, so rb=8 stays tile-aligned)
+    if fits(n, 8):
+        rb = 8
+        for cand in (16, 32, 64):
+            if fits(n, cand):
+                rb = cand
+        return rb, eb, 0
+    # image-chunked: largest power-of-two chunk that fits at rb=8
+    nc = 128
+    while nc > 8 and not fits(nc, 8):
+        nc //= 2
+    return 8, eb, nc
 
 
 def _pad_to(x, size, axis):
@@ -149,11 +177,41 @@ def _fwd_kernel(idx_ref, pw_ref, proj_ref, pred_ref, w_ref, out_ref, *, eb):
     out_ref[0, 0] += acc
 
 
+def _fwd_kernel_chunked(idx_ref, chunk_ref, first_ref, pw_ref, proj_ref,
+                        pred_ref, w_ref, out_ref, *, eb):
+    """Image-chunked forward: proj_ref is the (nc, 3, RB, 128) block of the
+    chunk every term in this e-tile belongs to (selected by the scalar-
+    prefetched chunk_ref in the BlockSpec index map); idx values are local
+    to the chunk. The body is the single-chunk kernel unchanged."""
+    del chunk_ref, first_ref  # consumed by the index maps
+    _fwd_kernel(idx_ref, pw_ref, proj_ref, pred_ref, w_ref, out_ref, eb=eb)
+
+
 def _bwd_kernel(idx_ref, g_ref, pw_ref, proj_ref, pred_ref, w_ref,
                 dproj_ref, dpw_ref, *, eb):
     a, e = pl.program_id(0), pl.program_id(1)
+    _bwd_body(e == 0, idx_ref, g_ref, pw_ref, proj_ref, pred_ref, w_ref,
+              dproj_ref, dpw_ref, eb)
 
-    @pl.when(e == 0)
+
+def _bwd_kernel_chunked(idx_ref, chunk_ref, first_ref, g_ref, pw_ref,
+                        proj_ref, pred_ref, w_ref, dproj_ref, dpw_ref, *, eb):
+    """Chunked backward: the resident d_proj accumulator block belongs to
+    chunk_ref[e]; it must be zeroed on the FIRST e-tile of each chunk
+    (per a-row), which the pack-time first_ref marks — with terms sorted
+    by image, each (chunk, a) block is visited in one contiguous run, so
+    Mosaic keeps it VMEM-resident for the run and writes it back once."""
+    del chunk_ref
+    e = pl.program_id(1)
+    _bwd_body(first_ref[e] == 1, idx_ref, g_ref, pw_ref, proj_ref, pred_ref,
+              w_ref, dproj_ref, dpw_ref, eb)
+
+
+def _bwd_body(init_dproj, idx_ref, g_ref, pw_ref, proj_ref, pred_ref, w_ref,
+              dproj_ref, dpw_ref, eb):
+    a, e = pl.program_id(0), pl.program_id(1)
+
+    @pl.when(init_dproj)
     def _():
         dproj_ref[...] = jnp.zeros_like(dproj_ref)
 
@@ -195,11 +253,19 @@ def _bwd_kernel(idx_ref, g_ref, pw_ref, proj_ref, pred_ref, w_ref,
 
 # ------------------------------------------------------------- pallas calls
 
+def _proj_map(meta: EdgeMeta):
+    """proj / d_proj block index: the whole scene for the single-chunk
+    kernel; the e-tile's image chunk (scalar-prefetched) when chunked."""
+    if meta.nc:
+        return lambda a, e, idx, chunk, first: (chunk[e], 0, a, 0)
+    return lambda a, e, *_s: (0, 0, a, 0)
+
+
 def _common_in_specs(meta: EdgeMeta):
-    n, rb, eb = meta.n, meta.rb, meta.eb
+    rb, eb = meta.rb, meta.eb
     return [
         pl.BlockSpec((eb, 12), lambda a, e, *_s: (e, 0), memory_space=pltpu.SMEM),
-        pl.BlockSpec((n, 3, rb, 128), lambda a, e, *_s: (0, 0, a, 0),
+        pl.BlockSpec((meta.chunk_rows, 3, rb, 128), _proj_map(meta),
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((eb, 3, rb, 128), lambda a, e, *_s: (e, 0, a, 0),
                      memory_space=pltpu.VMEM),
@@ -217,16 +283,19 @@ def _cost(meta: EdgeMeta, itemsize: int, factor: int):
     )
 
 
-def _fwd_call(meta: EdgeMeta, proj_p, pw34, pred_p, w_p, idx):
+def _fwd_call(meta: EdgeMeta, proj_p, pw34, pred_p, w_p, idx, chunk, first):
+    chunked = bool(meta.nc)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=3 if chunked else 1,
         grid=(meta.a_tiles, meta.e_tiles),
         in_specs=_common_in_specs(meta),
         out_specs=pl.BlockSpec((1, 1), lambda a, e, *_s: (0, 0),
                                memory_space=pltpu.SMEM),
     )
+    kern = _fwd_kernel_chunked if chunked else _fwd_kernel
+    scalars = (idx, chunk, first) if chunked else (idx,)
     out = pl.pallas_call(
-        functools.partial(_fwd_kernel, eb=meta.eb),
+        functools.partial(kern, eb=meta.eb),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((1, 1), jnp.float32),
         compiler_params=pltpu.CompilerParams(
@@ -234,29 +303,31 @@ def _fwd_call(meta: EdgeMeta, proj_p, pw34, pred_p, w_p, idx):
             vmem_limit_bytes=_VMEM_LIMIT),
         cost_estimate=_cost(meta, pred_p.dtype.itemsize, 1),
         interpret=meta.interpret,
-    )(idx, pw34.reshape(meta.e2, 12), proj_p, pred_p, w_p)
+    )(*scalars, pw34.reshape(meta.e2, 12), proj_p, pred_p, w_p)
     return out[0, 0]
 
 
-def _bwd_call(meta: EdgeMeta, g, proj_p, pw34, pred_p, w_p, idx):
-    n, rb, eb = meta.n, meta.rb, meta.eb
+def _bwd_call(meta: EdgeMeta, g, proj_p, pw34, pred_p, w_p, idx, chunk, first):
+    chunked = bool(meta.nc)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=3 if chunked else 1,
         grid=(meta.a_tiles, meta.e_tiles),
         in_specs=[pl.BlockSpec((1, 1), lambda a, e, *_s: (0, 0),
                                memory_space=pltpu.SMEM)] + _common_in_specs(meta),
         out_specs=[
-            pl.BlockSpec((n, 3, rb, 128), lambda a, e, *_s: (0, 0, a, 0),
+            pl.BlockSpec((meta.chunk_rows, 3, meta.rb, 128), _proj_map(meta),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((meta.e2, 128), lambda a, e, *_s: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
     )
+    kern = _bwd_kernel_chunked if chunked else _bwd_kernel
+    scalars = (idx, chunk, first) if chunked else (idx,)
     dproj, dpw_rows = pl.pallas_call(
-        functools.partial(_bwd_kernel, eb=meta.eb),
+        functools.partial(kern, eb=meta.eb),
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((n, 3, meta.la, 128), jnp.float32),
+            jax.ShapeDtypeStruct((meta.n, 3, meta.la, 128), jnp.float32),
             jax.ShapeDtypeStruct((meta.e2, 128), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
@@ -264,7 +335,7 @@ def _bwd_call(meta: EdgeMeta, g, proj_p, pw34, pred_p, w_p, idx):
             vmem_limit_bytes=_VMEM_LIMIT),
         cost_estimate=_cost(meta, pred_p.dtype.itemsize, 2),
         interpret=meta.interpret,
-    )(idx, jnp.reshape(g, (1, 1)).astype(jnp.float32),
+    )(*scalars, jnp.reshape(g, (1, 1)).astype(jnp.float32),
       pw34.reshape(meta.e2, 12), proj_p, pred_p, w_p)
     return dproj, dpw_rows[:, :12].reshape(meta.e2, 3, 4)
 
@@ -279,30 +350,38 @@ def fold_pose_adaptors(pw_poses_44, adaptors):
 # ---------------------------------------------------------------- custom_vjp
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
-def edge_loss(meta: EdgeMeta, proj_p, pw34, pred_p, w_p, idx):
+def edge_loss(meta: EdgeMeta, proj_p, pw34, pred_p, w_p, idx,
+              chunk=None, first=None):
     """Fused sum_e sum_a w * safe_norm(proj[idx[e]] - pw34[e] @ [pred; 1]).
 
-    proj_p: (n, 3, la, 128) packed world points (differentiated)
-    pw34:   (e2, 3, 4) folded pose (+adaptor) matrices (differentiated)
+    proj_p: (n, 3, la, 128) packed world points (differentiated; n padded
+            to a multiple of meta.nc when chunked)
+    pw34:   (e2, 3, 4) folded pose (+adaptor) matrices (differentiated;
+            in pack order — sorted by image when chunked)
     pred_p: (e2, 3, la, 128) packed frozen predictions
     w_p:    (e2, la, 128) frozen weights (normalisation pre-folded, 0 padding)
-    idx:    (e2,) int32 image index per edge term
+    idx:    (e2,) int32 image index per edge term (chunk-local when chunked)
+    chunk:  (e_tiles,) int32 image-chunk id per e-tile (chunked kernel only)
+    first:  (e_tiles,) int32 1 on the first e-tile of each chunk (ditto)
     """
-    return _fwd_call(meta, proj_p, pw34, pred_p, w_p, idx)
+    return _fwd_call(meta, proj_p, pw34, pred_p, w_p, idx, chunk, first)
 
 
-def _edge_loss_fwd(meta, proj_p, pw34, pred_p, w_p, idx):
-    loss = _fwd_call(meta, proj_p, pw34, pred_p, w_p, idx)
-    return loss, (proj_p, pw34, pred_p, w_p, idx)
+def _edge_loss_fwd(meta, proj_p, pw34, pred_p, w_p, idx, chunk, first):
+    loss = _fwd_call(meta, proj_p, pw34, pred_p, w_p, idx, chunk, first)
+    return loss, (proj_p, pw34, pred_p, w_p, idx, chunk, first)
 
 
 def _edge_loss_bwd(meta, res, g):
-    proj_p, pw34, pred_p, w_p, idx = res
-    dproj, dpw = _bwd_call(meta, g, proj_p, pw34, pred_p, w_p, idx)
+    proj_p, pw34, pred_p, w_p, idx, chunk, first = res
+    dproj, dpw = _bwd_call(meta, g, proj_p, pw34, pred_p, w_p, idx,
+                           chunk, first)
     zero_pred = jnp.zeros_like(pred_p)
     zero_w = jnp.zeros_like(w_p)
-    zero_idx = np.zeros(idx.shape, dtype=jax.dtypes.float0)
-    return dproj.astype(proj_p.dtype), dpw, zero_pred, zero_w, zero_idx
+    f0 = lambda x: (None if x is None
+                    else np.zeros(x.shape, dtype=jax.dtypes.float0))
+    return (dproj.astype(proj_p.dtype), dpw, zero_pred, zero_w, f0(idx),
+            f0(chunk), f0(first))
 
 
 edge_loss.defvjp(_edge_loss_fwd, _edge_loss_bwd)

@@ -167,12 +167,17 @@ def test_fused_loss_vmaps_over_scenes():
 
 
 def test_fused_fallback_large_scene():
-    """Scenes with too many images for resident VMEM blocks fall back to xla."""
+    """Image count no longer disables the fused path (the chunked kernel
+    covers it); only an edge count beyond the per-term pose-gradient
+    accumulator's VMEM bound falls back to xla."""
     import dataclasses as dc
     from align3r_tpu.alignment.scene import resolve_fast_impl
     cfg, _, _ = _synthetic_scene(n=3, H=12, W=16)
-    big = dc.replace(cfg, n_imgs=512, fast_impl="fused")
-    assert resolve_fast_impl(big) == "xla"
+    many_imgs = dc.replace(cfg, n_imgs=512, fast_impl="fused")
+    assert resolve_fast_impl(many_imgs) == "fused"
+    many_edges = dc.replace(cfg, n_edges=20000, fast_impl="fused")
+    with pytest.warns(UserWarning, match="n_edges"):
+        assert resolve_fast_impl(many_edges) == "xla"
     small = dc.replace(cfg, fast_impl="fused")
     assert resolve_fast_impl(small) == "fused"
 
@@ -202,8 +207,8 @@ def test_fused_rb8_large_scene_matches_fp32():
     # sliding-window graph keeps E small while n is large
     cfg, data, params = _synthetic_scene(n=150, H=8, W=16, graph="swin-1")
     assert resolve_fast_impl(dc.replace(cfg, fast_impl="fused")) == "fused"
-    rb, eb = el.choose_blocks(cfg.n_imgs)
-    assert rb == 8, rb
+    rb, eb, nc = el.choose_blocks(cfg.n_imgs)
+    assert rb == 8 and nc == 0, (rb, nc)
     data_p = pack_scene(data, cfg, dtype=jnp.float32)
     ref = float(pairwise_pts_loss(params, data, cfg))
     fused = float(_pairwise_pts_loss_fused(params, data_p, cfg))
@@ -214,3 +219,43 @@ def test_fused_rb8_large_scene_matches_fp32():
         a, b = np.asarray(g_ref[k]), np.asarray(g_f[k])
         scale = max(np.abs(a).max(), 1e-6)
         np.testing.assert_allclose(b, a, atol=3e-6 * scale, err_msg=k)
+
+
+def test_fused_chunked_large_scene_matches_fp32():
+    """n > 256 now runs the image-CHUNKED fused kernel (terms sorted by
+    image, per-chunk eb-aligned tiles, resident blocks per chunk) instead
+    of losing the fused path: loss and grads must match the plain fp32
+    XLA path exactly."""
+    import dataclasses as dc
+    from align3r_tpu.alignment.scene import resolve_fast_impl, _edge_meta
+    cfg, data, params = _synthetic_scene(n=300, H=8, W=16, graph="swin-1")
+    assert resolve_fast_impl(dc.replace(cfg, fast_impl="fused")) == "fused"
+    meta = _edge_meta(cfg)
+    assert meta.nc and meta.n_chunks >= 2, meta
+    data_p = pack_scene(data, cfg, dtype=jnp.float32)
+    assert data_p.packed_chunk is not None
+    # chunk ids per e-tile are monotone and first-flags mark each chunk once
+    ch = np.asarray(data_p.packed_chunk)
+    fi = np.asarray(data_p.packed_first)
+    assert (np.diff(ch) >= 0).all()
+    assert fi.sum() == meta.n_chunks and (fi[np.r_[True, np.diff(ch) > 0]] == 1).all()
+    ref = float(pairwise_pts_loss(params, data, cfg))
+    fused = float(_pairwise_pts_loss_fused(params, data_p, cfg))
+    assert abs(ref - fused) < 1e-5 * max(1.0, abs(ref)), (ref, fused)
+    g_ref = jax.grad(pairwise_pts_loss)(params, data, cfg)
+    g_f = jax.grad(_pairwise_pts_loss_fused)(params, data_p, cfg)
+    for k in g_ref:
+        a, b = np.asarray(g_ref[k]), np.asarray(g_f[k])
+        scale = max(np.abs(a).max(), 1e-6)
+        np.testing.assert_allclose(b, a, atol=3e-6 * scale, err_msg=k)
+
+
+def test_fused_chunked_complete_graph_and_bf16():
+    """Chunked kernel on a denser graph + bf16 packing stays close to fp32
+    (input quantisation only), and the full solve loop runs."""
+    import dataclasses as dc
+    cfg, data, params = _synthetic_scene(n=280, H=8, W=16, graph="swin-2")
+    data_p = pack_scene(data, cfg, dtype=jnp.bfloat16)
+    ref = float(pairwise_pts_loss(params, data, cfg))
+    fused = float(_pairwise_pts_loss_fused(params, data_p, cfg))
+    assert abs(ref - fused) / max(abs(ref), 1e-6) < 5e-3, (ref, fused)

@@ -128,6 +128,43 @@ def main():
                                    head_group=hg)
         check(f"attention_site head_group={hg}", got_hg, got, 1e-6)
 
+    # 6) image-CHUNKED fused edge-loss kernel (n > 256 path): scalar-
+    # prefetched block index maps + per-chunk d_proj zero-init are the
+    # Mosaic-lowering risks interpret mode can't see
+    from align3r_tpu.inference.pairs import make_pairs
+    from align3r_tpu.alignment.scene import (build_scene, pack_scene,
+                                             pairwise_pts_loss, _edge_meta,
+                                             _pairwise_pts_loss_fused)
+    pairs = make_pairs(300, "swin-1", symmetrize=True)
+    E = len(pairs)
+    He, We = 24, 32
+    ke = jax.random.fold_in(key, 99)
+    out = {"view1": {"idx": np.array([p[0] for p in pairs])},
+           "view2": {"idx": np.array([p[1] for p in pairs])},
+           "pred1": {"pts3d": jax.random.normal(ke, (E, He, We, 3)),
+                     "conf": 1 + jax.random.uniform(ke, (E, He, We))},
+           "pred2": {"pts3d_in_other_view":
+                     jax.random.normal(jax.random.fold_in(ke, 1), (E, He, We, 3)),
+                     "conf": 1 + jax.random.uniform(ke, (E, He, We))}}
+    cfg, data, params = build_scene(out, {})
+    meta = _edge_meta(cfg)
+    print(f"edge_loss chunked: n={meta.n} nc={meta.nc} chunks={meta.n_chunks}")
+    assert meta.nc, meta
+    data_p = pack_scene(data, cfg, dtype=jnp.float32)
+    t0 = time.perf_counter()
+    lf = jax.jit(jax.value_and_grad(
+        lambda p: _pairwise_pts_loss_fused(p, data_p, cfg)))
+    lv, gv = lf(params)
+    np.asarray(lv)
+    print(f"edge_loss chunked (n=300) fwd+bwd compiled+ran in "
+          f"{time.perf_counter()-t0:.1f}s")
+    ref_l = pairwise_pts_loss(params, data, cfg)
+    check("edge_loss chunked vs fp32 XLA", lv, ref_l, 1e-4)
+    g_ref = jax.grad(pairwise_pts_loss)(params, data, cfg)
+    check("edge_loss chunked grad(im_poses)", gv["im_poses"],
+          g_ref["im_poses"],
+          1e-4 * max(1.0, float(np.abs(np.asarray(g_ref["im_poses"])).max())))
+
     print("ALL OK" if ok else "FAILURES PRESENT")
     sys.exit(0 if ok else 1)
 

@@ -87,7 +87,8 @@ def _breakdown(cfg, data, params, masks, niter):
 
     def kern_loss(pp, pw):
         return el.edge_loss(meta, pp, pw, data.packed_pred, data.packed_w,
-                            data.packed_idx)
+                            data.packed_idx, data.packed_chunk,
+                            data.packed_first)
 
     @jax.jit
     def kern_scan(pp0, pw0):
