@@ -87,7 +87,8 @@ def test_train_driver_end_to_end_with_orbax_resume(synth_root, tmp_path):
         batch_size=2, accum_iter=1, epochs=2, warmup_epochs=0,
         num_workers=2, output_dir=out, eval_freq=1, save_freq=1,
         keep_freq=10, max_steps_per_epoch=2, ckpt_backend="orbax",
-        n_data=2)
+        n_data=2, zero1=True)  # zero1: the async orbax save + resume round-
+    #                            trips a SHARDED opt state (1/2 per device)
     state = train(TrainArgs(**base))
     assert os.path.isdir(os.path.join(out, "checkpoint-last", "orbax"))
     assert os.path.exists(os.path.join(out, "checkpoint-final.pth"))
