@@ -339,7 +339,8 @@ def _chunk_layout(idx_np: np.ndarray, meta) -> tuple:
     padded to an eb boundary (so no e-tile straddles two resident blocks),
     worst-case slack appended as last-chunk dummy tiles.
 
-    Returns (slots (e2,) original term slot with -1 = dummy,
+    Returns (slots (e2,) original term slot with -1 = dummy, perm (e2,) =
+             slots with dummies -> 0 (the pw34 gather order),
              idx_local (e2,), chunk_of_tile (e_tiles,), first (e_tiles,))."""
     eb, nc, C = meta.eb, meta.nc, meta.n_chunks
     order = np.argsort(idx_np, kind="stable")
@@ -363,7 +364,7 @@ def _chunk_layout(idx_np: np.ndarray, meta) -> tuple:
     slots = np.asarray(slots, np.int32)
     perm = np.where(slots >= 0, slots, 0).astype(np.int32)
     idx_local = np.where(slots >= 0, idx_np[perm] % nc, 0).astype(np.int32)
-    return (slots, idx_local, np.asarray(chunks, np.int32),
+    return (slots, perm, idx_local, np.asarray(chunks, np.int32),
             np.asarray(first, np.int32))
 
 
@@ -383,15 +384,14 @@ def pack_scene(data: SceneData, cfg: SceneConfig,
     pred_p = el.pack_points(pred, meta.la, dtype)
     w_p = el.pack_scalars(w, meta.la, dtype)
     if meta.nc:
-        slots, idx_local, chunk, first = _chunk_layout(
+        slots, perm, idx_local, chunk, first = _chunk_layout(
             np.asarray(idx, np.int64), meta)
         valid = slots >= 0
-        pred_p = pred_p[slots * valid]                 # dummy -> term 0 copy
-        w_p = w_p[slots * valid] * jnp.asarray(valid, w_p.dtype)[:, None, None]
+        pred_p = pred_p[perm]                          # dummy -> term 0 copy
+        w_p = w_p[perm] * jnp.asarray(valid, w_p.dtype)[:, None, None]
         return dataclasses.replace(
             data, packed_pred=pred_p, packed_w=w_p,
-            packed_idx=jnp.asarray(idx_local),
-            packed_perm=jnp.asarray(np.where(valid, slots, 0).astype(np.int32)),
+            packed_idx=jnp.asarray(idx_local), packed_perm=jnp.asarray(perm),
             packed_chunk=jnp.asarray(chunk), packed_first=jnp.asarray(first))
     pad_e = meta.e2 - 2 * E
     if pad_e:

@@ -86,7 +86,7 @@ def _ckpt(fn, remat):
     recompute for a few MB of saved (B, N, D) activations per layer; only
     the trainable decoder blocks have a live backward, so the encoder's
     choice is moot under the fine-tune freeze list)."""
-    if not remat:
+    if not remat or remat == "none":
         return fn
     if remat is True or remat == "full":
         return jax.checkpoint(fn)

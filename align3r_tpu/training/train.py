@@ -203,7 +203,7 @@ def train(args: TrainArgs):
     from align3r_tpu.training.data import get_data_loader
     from align3r_tpu.training.step import (
         make_lr_schedule, make_optimizer, make_train_step, make_eval_step,
-        create_train_state, cast_frozen_kernels, TrainState)
+        cast_frozen_kernels, TrainState)
 
     # multi-host hook (no-op unless ALIGN3R_DIST/ALIGN3R_COORDINATOR set;
     # reference croco/utils/misc.py:222-243 init_distributed_mode)
@@ -242,43 +242,51 @@ def train(args: TrainArgs):
                              args.epochs, steps_per_epoch)
     tx = make_optimizer(params, sched, weight_decay=args.weight_decay,
                         accum_iter=args.accum_iter)
-    state = create_train_state(params, tx)
-
-    best_so_far = None
-    last = os.path.join(args.output_dir, "checkpoint-last")
-    if os.path.exists(os.path.join(last, "state.pkl")) \
-            or (os.path.isdir(os.path.join(last, "orbax"))
-                and os.path.exists(os.path.join(last, "meta.json"))):  # auto-resume
-        ck = load_checkpoint(last, target_state=state)
-        rparams = jax.tree.map(jnp.asarray, ck["params"])
-        if args.cast_frozen:
-            # idempotent; also covers resuming an fp32-era pickle checkpoint
-            rparams = cast_frozen_kernels(rparams)
-        state = TrainState(params=rparams,
-                           opt_state=jax.tree.map(
-                               lambda x: jnp.asarray(x) if isinstance(x, np.ndarray) else x,
-                               ck["opt_state"]),
-                           step=jnp.asarray(ck["step"], jnp.int32))
-        args.start_epoch = ck["epoch"] + 1
-        best_so_far = ck.get("best_so_far")
-        print(f"resumed from {last} at epoch {args.start_epoch}")
 
     mesh = make_mesh(n_data=args.n_data)
     repl, dsh = replicated(mesh), data_sharding(mesh)
     if args.zero1:
         # params replicated, optimizer state 1/N per chip (ZeRO-1): the
         # elementwise update runs on each chip's slice; XLA all-gathers
-        # the updates once where they meet the replicated params
+        # the updates once where they meet the replicated params. Shardings
+        # come from eval_shape so the state can be BORN sharded below —
+        # init/resume never materialise a replicated copy of the moments
+        # on one device (the transient would cost exactly the HBM ZeRO-1
+        # exists to save).
         state_sh = TrainState(
-            params=jax.tree.map(lambda _: repl, state.params),
-            opt_state=zero1_opt_shardings(state.opt_state, mesh),
+            params=repl,
+            opt_state=zero1_opt_shardings(jax.eval_shape(tx.init, params),
+                                          mesh),
             step=repl)
+        opt_sh = state_sh.opt_state
     else:
         state_sh = repl
-    state = jax.device_put(state, state_sh)
+        opt_sh = repl
+    params = jax.device_put(params, repl)
+    state = TrainState(params=params,
+                       opt_state=jax.jit(tx.init, out_shardings=opt_sh)(params),
+                       step=jax.device_put(jnp.zeros((), jnp.int32), repl))
+
+    best_so_far = None
+    last = os.path.join(args.output_dir, "checkpoint-last")
+    if os.path.exists(os.path.join(last, "state.pkl")) \
+            or (os.path.isdir(os.path.join(last, "orbax"))
+                and os.path.exists(os.path.join(last, "meta.json"))):  # auto-resume
+        # orbax restores INTO target_state's shardings (no replicated
+        # transient); pickle leaves stay host numpy until the device_put
+        ck = load_checkpoint(last, target_state=state)
+        rparams = ck["params"]
+        if args.cast_frozen:
+            # idempotent; also covers resuming an fp32-era pickle checkpoint
+            rparams = cast_frozen_kernels(rparams)
+        state = TrainState(params=rparams, opt_state=ck["opt_state"],
+                           step=jnp.asarray(ck["step"], jnp.int32))
+        state = jax.device_put(state, state_sh)
+        args.start_epoch = ck["epoch"] + 1
+        best_so_far = ck.get("best_so_far")
+        print(f"resumed from {last} at epoch {args.start_epoch}")
     train_step = jax.jit(make_train_step(tx, cfg, alpha=args.alpha,
-                                         remat=(False if args.remat == "none"
-                                                else args.remat)),
+                                         remat=args.remat),
                          in_shardings=(state_sh, dsh),
                          out_shardings=(state_sh, repl),
                          donate_argnums=(0,))

@@ -250,12 +250,27 @@ def test_fused_chunked_large_scene_matches_fp32():
         np.testing.assert_allclose(b, a, atol=3e-6 * scale, err_msg=k)
 
 
-def test_fused_chunked_complete_graph_and_bf16():
+def test_fused_chunked_denser_graph_and_bf16():
     """Chunked kernel on a denser graph + bf16 packing stays close to fp32
-    (input quantisation only), and the full solve loop runs."""
-    import dataclasses as dc
+    (input quantisation only)."""
     cfg, data, params = _synthetic_scene(n=280, H=8, W=16, graph="swin-2")
     data_p = pack_scene(data, cfg, dtype=jnp.bfloat16)
     ref = float(pairwise_pts_loss(params, data, cfg))
     fused = float(_pairwise_pts_loss_fused(params, data_p, cfg))
     assert abs(ref - fused) / max(abs(ref), 1e-6) < 5e-3, (ref, fused)
+
+
+def test_fused_chunked_solve_loop():
+    """The full mixed-precision solve loop (lax.scan over the chunked
+    kernel, then the fp32-repack polish phase) runs end to end on an
+    n>256 scene and reduces the loss."""
+    import dataclasses as dc
+    cfg, data, params = _synthetic_scene(n=272, H=8, W=16, graph="swin-1")
+    fused_cfg = dc.replace(cfg, fast_impl="fused")
+    data_p = pack_scene(data, cfg, dtype=jnp.bfloat16)
+    masks = default_masks(cfg, params)
+    p, losses = global_alignment_loop(params, masks, data_p, fused_cfg,
+                                      niter=5, precision="mixed")
+    losses = np.asarray(losses)
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0]

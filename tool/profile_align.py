@@ -78,10 +78,8 @@ def _breakdown(cfg, data, params, masks, niter):
     pw34 = el.fold_pose_adaptors(get_pw_poses(params, c),
                                  get_adaptors(params, c))
     pw34 = jnp.concatenate([pw34, pw34], axis=0)
-    pad_e = meta.e2 - pw34.shape[0]
-    if pad_e:
-        pw34 = jnp.pad(pw34, [(0, pad_e), (0, 0), (0, 0)])
-    pw34 = pw34.astype(jnp.float32)
+    # pack order (sorted-by-image when chunked) — must match the packed obs
+    pw34 = jnp.take(pw34, data.packed_perm, axis=0).astype(jnp.float32)
     from align3r_tpu.alignment.scene import depth_to_pts3d_packed
     proj_p = depth_to_pts3d_packed(params, data, c, meta.la)
 
