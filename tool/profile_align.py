@@ -123,6 +123,12 @@ def main():
     ap.add_argument("--hw", type=int, nargs=2, default=(288, 512))
     ap.add_argument("--breakdown", action="store_true",
                     help="per-stage attribution of the fused step")
+    ap.add_argument("--impls", default=None,
+                    help="comma list of variants to run (names with spaces "
+                         "as dashes, e.g. xla-bf16,kernel-mixed); default "
+                         "all four. Use to skip the fp32 XLA baseline on "
+                         "image-heavy scenes where its (E,A,3) fp32 "
+                         "intermediates approach HBM.")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
 
@@ -157,10 +163,14 @@ def main():
 
     import dataclasses
     results = {}
-    for name, precision, impl in [("xla fp32", "fp32", "xla"),
-                                  ("xla bf16", "bf16", "xla"),
-                                  ("kernel bf16", "bf16", "fused"),
-                                  ("kernel mixed", "mixed", "fused")]:
+    variants = [("xla fp32", "fp32", "xla"),
+                ("xla bf16", "bf16", "xla"),
+                ("kernel bf16", "bf16", "fused"),
+                ("kernel mixed", "mixed", "fused")]
+    if args.impls:
+        want = set(args.impls.split(","))
+        variants = [v for v in variants if v[0].replace(" ", "-") in want]
+    for name, precision, impl in variants:
         c = dataclasses.replace(cfg, fast_impl=impl)
         run = lambda: global_alignment_loop(params, masks, data, c, lr=0.01,
                                             niter=args.niter, precision=precision)
@@ -174,9 +184,15 @@ def main():
         print(f"{name:14s} {args.niter/dt:7.1f} it/s   final loss "
               f"{losses[-1]:.6f}")
 
-    # solution quality: kernel-path pose params vs fp32 path
-    ref = results["xla fp32"][0]
+    # solution quality: kernel-path pose params vs the best xla baseline run
+    ref_name = next((n for n in ("xla fp32", "xla bf16") if n in results),
+                    None)
+    if ref_name is None:
+        return
+    ref = results[ref_name][0]
     for name in ("kernel bf16", "kernel mixed"):
+        if name not in results:
+            continue
         p = results[name][0]
         d = max(float(np.abs(np.asarray(p[k]) - np.asarray(ref[k])).max())
                 for k in ("im_poses", "im_focals"))

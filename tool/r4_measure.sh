@@ -64,8 +64,10 @@ stage ab_bs 2400 python -u tool/ab_bs.py --reps 4
 
 stage align 1800 python -u tool/profile_align.py
 stage align_breakdown 1800 python -u tool/profile_align.py --breakdown
-# image-chunked fused kernel (n>256, new in r4): throughput + solution parity
-stage align_chunked 1800 python -u tool/profile_align.py --frames 300 --hw 144 256 --niter 60
+# image-chunked fused kernel (n>256, new in r4): throughput + solution
+# parity (fp32 XLA baseline skipped: its (E,A,3) fp32 intermediates at
+# n=300 approach HBM)
+stage align_chunked 1800 python -u tool/profile_align.py --frames 300 --hw 144 256 --niter 60 --impls xla-bf16,kernel-bf16,kernel-mixed
 
 stage site 1800 python -u tool/profile_site.py --reps 30
 
