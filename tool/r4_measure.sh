@@ -39,6 +39,9 @@ timeout 90 python -c "import jax, jax.numpy as jnp, numpy as np; print(float(np.
 
 stage kernels 900 python -u tool/check_kernels.py
 [ -f /tmp/r4_kernels.done ] || { echo "KERNEL CHECK FAILED"; exit 1; }
+# chunked edge kernel check is NON-gating (a lowering failure in the new
+# n>256 path must not abort the train/bench stages)
+stage kernels_chunked 900 python -u tool/check_kernels.py --only chunked_edge
 
 stage train_bs2 2400 python -u tool/profile_train.py --bs 2 --reps 5 --split
 stage train_remat 2400 python -u tool/profile_train.py --bs 2 --reps 5 --remat-ab
