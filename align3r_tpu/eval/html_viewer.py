@@ -91,8 +91,12 @@ const fbuf = gl.createBuffer();
 gl.bindBuffer(gl.ARRAY_BUFFER, fbuf);
 gl.bufferData(gl.ARRAY_BUFFER, fARR, gl.STATIC_DRAW);
 
-let theta = 0.6, phi = 0.4, dist = 3.0, panX = 0, panY = 0;
 const center = {center_json};
+const SPREAD = {spread};
+// initial orbit distance scales with the cloud's 90th-percentile radius —
+// a fixed distance starts INSIDE large metric scenes (blank-ish view)
+let theta = 0.6, phi = 0.4, dist = Math.max(0.5, 2.5 * SPREAD);
+let panX = 0, panY = 0;
 function mat() {{
   const aspect = canvas.width / canvas.height;
   const fov = 1.0, near = 0.01, far = 1000.0;
@@ -212,6 +216,7 @@ def export_scene_html(pts3d: np.ndarray, colors: np.ndarray, masks,
         col_b64=base64.b64encode(cols8.tobytes()).decode(),
         cams_json=json.dumps(cams),
         center_json=json.dumps([float(x) for x in center]),
+        spread=repr(float(spread)),
     )
     os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
     with open(path, "w") as fh:

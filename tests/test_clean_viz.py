@@ -142,3 +142,64 @@ def test_clean_pointcloud_matches_reference_oracle():
 
     assert (ours != conf).any(), "fixture produced no suppression"
     np.testing.assert_array_equal(ours, ref)
+
+
+def test_html_viewer_initial_camera_sees_the_scene():
+    """Emulate the exported viewer's JS camera math (lookAt z-row,
+    perspective, spread-scaled initial orbit distance) in numpy and assert
+    the default view actually CONTAINS the point cloud — the r3 z-sign bug
+    shipped because nothing ever projected the embedded points. Run at two
+    very different scene scales (unit-ish and metric ~40 units)."""
+    import base64
+    import json as _json
+    import re
+    import numpy as np
+    from align3r_tpu.eval.html_viewer import export_scene_html
+
+    def default_view_visible_fraction(html):
+        pts = np.frombuffer(
+            base64.b64decode(re.search(r'PTS_B64 = "([^"]*)"', html).group(1)),
+            np.float32).reshape(-1, 3).astype(np.float64)
+        center = np.array(_json.loads(
+            re.search(r"const center = (\[[^\]]*\]);", html).group(1)))
+        spread = float(re.search(r"const SPREAD = ([^;]*);", html).group(1))
+        theta, phi = 0.6, 0.4
+        dist = max(0.5, 2.5 * spread)
+        fov, near, far = 1.0, 0.01, 1000.0
+        aspect = 16 / 9
+        fy = 1 / np.tan(fov / 2)
+        eye = center + dist * np.array([np.cos(phi) * np.sin(theta),
+                                        np.sin(phi),
+                                        np.cos(phi) * np.cos(theta)])
+        f = center - eye
+        f = f / np.linalg.norm(f)
+        r = np.cross(f, [0, -1, 0]); r = r / np.linalg.norm(r)
+        u = np.cross(r, f)
+        view = np.array([[*r, -r @ eye], [*u, -u @ eye],
+                         [*-f, f @ eye], [0, 0, 0, 1]])
+        proj = np.array([[fy / aspect, 0, 0, 0], [0, fy, 0, 0],
+                         [0, 0, (far + near) / (near - far),
+                          2 * far * near / (near - far)],
+                         [0, 0, -1, 0]])
+        hom = np.concatenate([pts, np.ones((len(pts), 1))], axis=1)
+        clip = hom @ (proj @ view).T
+        w = clip[:, 3]
+        ok = (w > 0) & (np.abs(clip[:, 0]) <= w) & (np.abs(clip[:, 1]) <= w) \
+            & (np.abs(clip[:, 2]) <= w)
+        return float(ok.mean())
+
+    rng = np.random.default_rng(0)
+    n, H, W = 2, 16, 24
+    masks = np.ones((n, H, W), bool)
+    poses = np.stack([np.eye(4)] * n)
+    for scale, offset in ((1.0, 3.0), (12.0, 40.0)):
+        pts = (rng.standard_normal((n, H, W, 3)) * scale
+               + [0, 0, offset]).astype(np.float32)
+        cols = rng.uniform(0, 1, (n, H, W, 3)).astype(np.float32)
+        import tempfile, os
+        with tempfile.TemporaryDirectory() as td:
+            out = export_scene_html(pts, cols, masks, poses,
+                                    np.array([100.0, 100.0]),
+                                    os.path.join(td, "s.html"))
+            frac = default_view_visible_fraction(open(out).read())
+        assert frac > 0.7, (scale, offset, frac)
