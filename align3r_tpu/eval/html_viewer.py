@@ -27,11 +27,17 @@ _TEMPLATE = """<!DOCTYPE html>
 </style></head>
 <body>
 <div id="hud">{title} — {npts} pts, {ncams} cams | drag: orbit, wheel: zoom,
- shift-drag: pan | <label><input type="checkbox" id="frusta" checked> frusta</label></div>
+ shift-drag: pan | <label><input type="checkbox" id="frusta" checked> frusta</label>
+ | <label>min conf <input type="range" id="confthr" min="0" max="100"
+   value="0" style="width:90px; vertical-align:middle"></label>
+ <span id="confval"></span>
+ | <label>cam size <input type="range" id="camsize" min="10" max="400"
+   value="100" style="width:70px; vertical-align:middle"></label></div>
 <canvas id="gl"></canvas>
 <script>
 const PTS_B64 = "{pts_b64}";
 const COL_B64 = "{col_b64}";
+const CONF_B64 = "{conf_b64}";
 const CAMS = {cams_json};
 function unb64(s) {{
   const raw = atob(s); const a = new Uint8Array(raw.length);
@@ -40,15 +46,24 @@ function unb64(s) {{
 }}
 const pts = new Float32Array(unb64(PTS_B64).buffer);
 const col = new Uint8Array(unb64(COL_B64).buffer);
+const conf = new Float32Array(unb64(CONF_B64).buffer);
 const N = pts.length / 3;
+let confLo = Infinity, confHi = -Infinity;
+for (let i = 0; i < conf.length; i++) {{
+  if (conf[i] < confLo) confLo = conf[i];
+  if (conf[i] > confHi) confHi = conf[i];
+}}
+if (!isFinite(confLo)) {{ confLo = 0; confHi = 1; }}
 
 const canvas = document.getElementById("gl");
 const gl = canvas.getContext("webgl");
-const vs = `attribute vec3 p; attribute vec3 c; uniform mat4 mvp;
- varying vec3 vc; void main() {{ gl_Position = mvp * vec4(p, 1.0);
- gl_PointSize = 2.0; vc = c; }}`;
-const fs = `precision mediump float; varying vec3 vc;
- void main() {{ gl_FragColor = vec4(vc, 1.0); }}`;
+const vs = `attribute vec3 p; attribute vec3 c; attribute float k;
+ uniform mat4 mvp; varying vec3 vc; varying float vk;
+ void main() {{ gl_Position = mvp * vec4(p, 1.0);
+ gl_PointSize = 2.0; vc = c; vk = k; }}`;
+const fs = `precision mediump float; varying vec3 vc; varying float vk;
+ uniform float uthr;
+ void main() {{ if (vk < uthr) discard; gl_FragColor = vec4(vc, 1.0); }}`;
 function shader(type, src) {{ const s = gl.createShader(type);
  gl.shaderSource(s, src); gl.compileShader(s); return s; }}
 const prog = gl.createProgram();
@@ -70,26 +85,36 @@ gl.bufferData(gl.ARRAY_BUFFER, colf, gl.STATIC_DRAW);
 const ac = gl.getAttribLocation(prog, "c");
 gl.enableVertexAttribArray(ac);
 gl.vertexAttribPointer(ac, 3, gl.FLOAT, false, 0, 0);
+const kbuf = gl.createBuffer();
+gl.bindBuffer(gl.ARRAY_BUFFER, kbuf);
+gl.bufferData(gl.ARRAY_BUFFER, conf, gl.STATIC_DRAW);
+const ak = gl.getAttribLocation(prog, "k");
+gl.enableVertexAttribArray(ak);
+gl.vertexAttribPointer(ak, 1, gl.FLOAT, false, 0, 0);
 
-// frusta as line segments
-let fverts = [];
-for (const cam of CAMS) {{
-  const T = cam.pose, f = cam.focal, s = cam.scale;
-  const w = s, h = s * 0.66, z = s * 1.2;
-  const corners = [[-w,-h,z],[w,-h,z],[w,h,z],[-w,h,z]];
-  const tf = (p) => [
-    T[0][0]*p[0]+T[0][1]*p[1]+T[0][2]*p[2]+T[0][3],
-    T[1][0]*p[0]+T[1][1]*p[1]+T[1][2]*p[2]+T[1][3],
-    T[2][0]*p[0]+T[2][1]*p[1]+T[2][2]*p[2]+T[2][3]];
-  const o = tf([0,0,0]); const cs = corners.map(tf);
-  for (let i = 0; i < 4; i++) {{
-    fverts.push(...o, ...cs[i], ...cs[i], ...cs[(i+1)%4]);
-  }}
-}}
-const fARR = new Float32Array(fverts);
+// frusta as line segments, rebuilt when the cam-size slider moves
 const fbuf = gl.createBuffer();
-gl.bindBuffer(gl.ARRAY_BUFFER, fbuf);
-gl.bufferData(gl.ARRAY_BUFFER, fARR, gl.STATIC_DRAW);
+let fARR = new Float32Array(0);
+function buildFrusta(scaleMul) {{
+  let fverts = [];
+  for (const cam of CAMS) {{
+    const T = cam.pose, f = cam.focal, s = cam.scale * scaleMul;
+    const w = s, h = s * 0.66, z = s * 1.2;
+    const corners = [[-w,-h,z],[w,-h,z],[w,h,z],[-w,h,z]];
+    const tf = (p) => [
+      T[0][0]*p[0]+T[0][1]*p[1]+T[0][2]*p[2]+T[0][3],
+      T[1][0]*p[0]+T[1][1]*p[1]+T[1][2]*p[2]+T[1][3],
+      T[2][0]*p[0]+T[2][1]*p[1]+T[2][2]*p[2]+T[2][3]];
+    const o = tf([0,0,0]); const cs = corners.map(tf);
+    for (let i = 0; i < 4; i++) {{
+      fverts.push(...o, ...cs[i], ...cs[i], ...cs[(i+1)%4]);
+    }}
+  }}
+  fARR = new Float32Array(fverts);
+  gl.bindBuffer(gl.ARRAY_BUFFER, fbuf);
+  gl.bufferData(gl.ARRAY_BUFFER, fARR, gl.STATIC_DRAW);
+}}
+buildFrusta(1.0);
 
 const center = {center_json};
 const SPREAD = {spread};
@@ -138,6 +163,7 @@ function mul44(A, B) {{
     for (let k = 0; k < 4; k++) C[i][j] += A[i][k] * B[k][j];
   return C; }}
 
+let confThr = -Infinity;
 function draw() {{
   canvas.width = window.innerWidth; canvas.height = window.innerHeight;
   gl.viewport(0, 0, canvas.width, canvas.height);
@@ -145,18 +171,24 @@ function draw() {{
   gl.enable(gl.DEPTH_TEST);
   const mvp = gl.getUniformLocation(prog, "mvp");
   gl.uniformMatrix4fv(mvp, false, mat());
+  gl.uniform1f(gl.getUniformLocation(prog, "uthr"), confThr);
   gl.bindBuffer(gl.ARRAY_BUFFER, pbuf);
   gl.vertexAttribPointer(ap, 3, gl.FLOAT, false, 0, 0);
   gl.bindBuffer(gl.ARRAY_BUFFER, cbuf);
   gl.vertexAttribPointer(ac, 3, gl.FLOAT, false, 0, 0);
+  gl.bindBuffer(gl.ARRAY_BUFFER, kbuf);
+  gl.vertexAttribPointer(ak, 1, gl.FLOAT, false, 0, 0);
   gl.drawArrays(gl.POINTS, 0, N);
   if (document.getElementById("frusta").checked && fARR.length) {{
     gl.bindBuffer(gl.ARRAY_BUFFER, fbuf);
     gl.vertexAttribPointer(ap, 3, gl.FLOAT, false, 0, 0);
     gl.disableVertexAttribArray(ac);
     gl.vertexAttrib3f(ac, 1.0, 0.4, 0.2);
+    gl.disableVertexAttribArray(ak);
+    gl.vertexAttrib1f(ak, confHi + 1.0);   // frusta never conf-discarded
     gl.drawArrays(gl.LINES, 0, fARR.length / 3);
     gl.enableVertexAttribArray(ac);
+    gl.enableVertexAttribArray(ak);
   }}
 }}
 let dragging = false, lx = 0, ly = 0, shift = false;
@@ -175,6 +207,18 @@ window.addEventListener("mousemove", (e) => {{
 canvas.addEventListener("wheel", (e) => {{
   dist *= Math.exp(e.deltaY * 0.001); draw(); e.preventDefault(); }});
 document.getElementById("frusta").addEventListener("change", draw);
+const confEl = document.getElementById("confthr");
+function applyConf() {{
+  const pct = parseFloat(confEl.value);
+  confThr = pct <= 0 ? -Infinity
+    : confLo + (pct / 100) * (confHi - confLo);
+  document.getElementById("confval").textContent =
+    pct <= 0 ? "" : confThr.toFixed(2);
+  draw();
+}}
+confEl.addEventListener("input", applyConf);
+document.getElementById("camsize").addEventListener("input", (e) => {{
+  buildFrusta(parseFloat(e.target.value) / 100); draw(); }});
 window.addEventListener("resize", draw);
 draw();
 </script></body></html>
@@ -184,22 +228,28 @@ draw();
 def export_scene_html(pts3d: np.ndarray, colors: np.ndarray, masks,
                       poses: np.ndarray, focals, path: str,
                       title: str = "Align3R scene",
-                      max_points: int = 400_000) -> str:
+                      max_points: int = 400_000, confs=None) -> str:
     """Write a standalone interactive viewer.
 
     pts3d: (n, H, W, 3) world points; colors: (n, H, W, 3) in [0, 1];
     masks: (n, H, W) bool (conf threshold); poses: (n, 4, 4) cam2world;
-    focals: (n,). Subsamples uniformly to max_points.
+    focals: (n,); confs: optional (n, H, W) per-point confidence — embedded
+    so the viewer's min-conf slider re-thresholds interactively (the
+    reference gradio demo's min_conf_thr control, demo.py:234).
+    Subsamples uniformly to max_points.
     """
     pts = np.asarray(pts3d).reshape(-1, 3)
     cols = np.asarray(colors).reshape(-1, 3)
+    kf = (np.ones(len(pts), np.float32) if confs is None
+          else np.asarray(confs, np.float32).reshape(-1))
     m = np.asarray(masks).reshape(-1).astype(bool)
-    pts, cols = pts[m], cols[m]
+    pts, cols, kf = pts[m], cols[m], kf[m]
     if len(pts) > max_points:
         idx = np.linspace(0, len(pts) - 1, max_points).astype(int)
-        pts, cols = pts[idx], cols[idx]
+        pts, cols, kf = pts[idx], cols[idx], kf[idx]
     pts = np.ascontiguousarray(pts, np.float32)
     cols8 = np.ascontiguousarray(np.clip(cols * 255, 0, 255), np.uint8)
+    kf = np.ascontiguousarray(kf, np.float32)
 
     center = pts.mean(axis=0) if len(pts) else np.zeros(3)
     spread = float(np.percentile(np.linalg.norm(pts - center, axis=1), 90)) \
@@ -214,6 +264,7 @@ def export_scene_html(pts3d: np.ndarray, colors: np.ndarray, masks,
         title=title, npts=len(pts), ncams=len(cams),
         pts_b64=base64.b64encode(pts.tobytes()).decode(),
         col_b64=base64.b64encode(cols8.tobytes()).decode(),
+        conf_b64=base64.b64encode(kf.tobytes()).decode(),
         cams_json=json.dumps(cams),
         center_json=json.dumps([float(x) for x in center]),
         spread=repr(float(spread)),
@@ -230,4 +281,4 @@ def export_scene_result_html(scene, path: str, title: str = "Align3R scene"):
         np.zeros(scene.get_pts3d().shape, np.float32)
     return export_scene_html(scene.get_pts3d(), imgs01, scene.get_masks(),
                              scene.get_im_poses(), scene.get_focals(),
-                             path, title=title)
+                             path, title=title, confs=scene.get_conf())

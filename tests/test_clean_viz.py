@@ -86,8 +86,10 @@ def test_html_viewer_export(tmp_path):
     masks = np.ones((n, H, W), bool)
     masks[0, 0] = False
     poses = np.stack([np.eye(4)] * n)
+    confs = rng.uniform(1, 9, (n, H, W)).astype(np.float32)
     out = export_scene_html(pts, cols, masks, poses, np.array([100.0, 100.0]),
-                            str(tmp_path / "scene.html"), max_points=100)
+                            str(tmp_path / "scene.html"), max_points=100,
+                            confs=confs)
     html = open(out).read()
     assert "<html" in html and "PTS_B64" in html and "drawArrays" in html
     assert "http://" not in html and "https://" not in html  # self-contained
@@ -95,6 +97,17 @@ def test_html_viewer_export(tmp_path):
     b64 = re.search(r'PTS_B64 = "([^"]*)"', html).group(1)
     pts_dec = np.frombuffer(base64.b64decode(b64), np.float32)
     assert pts_dec.size == 100 * 3 and np.isfinite(pts_dec).all()
+    # interactive conf threshold (the gradio demo's min_conf_thr slider):
+    # per-point confidences ride along, aligned with the subsampled points
+    kb64 = re.search(r'CONF_B64 = "([^"]*)"', html).group(1)
+    k_dec = np.frombuffer(base64.b64decode(kb64), np.float32)
+    assert k_dec.size == 100 and (k_dec >= 1).all() and (k_dec <= 9).all()
+    # the masked-out frame 0 row and subsampling apply identically to conf
+    flat_k = confs.reshape(-1)[masks.reshape(-1)]
+    idx = np.linspace(0, len(flat_k) - 1, 100).astype(int)
+    np.testing.assert_array_equal(k_dec, flat_k[idx])
+    for el in ('id="confthr"', 'id="camsize"', "discard", "buildFrusta"):
+        assert el in html, el
 
 
 def test_clean_pointcloud_matches_reference_oracle():
