@@ -28,6 +28,8 @@ _TEMPLATE = """<!DOCTYPE html>
 <body>
 <div id="hud">{title} — {npts} pts, {ncams} cams | drag: orbit, wheel: zoom,
  shift-drag: pan | <label><input type="checkbox" id="frusta" checked> frusta</label>
+ <label id="meshlab" style="display:none"><input type="checkbox" id="mesh"
+   checked> mesh</label>
  | <label>min conf <input type="range" id="confthr" min="0" max="100"
    value="0" style="width:90px; vertical-align:middle"></label>
  <span id="confval"></span>
@@ -38,6 +40,7 @@ _TEMPLATE = """<!DOCTYPE html>
 const PTS_B64 = "{pts_b64}";
 const COL_B64 = "{col_b64}";
 const CONF_B64 = "{conf_b64}";
+const IDX_B64 = "{idx_b64}";
 const CAMS = {cams_json};
 function unb64(s) {{
   const raw = atob(s); const a = new Uint8Array(raw.length);
@@ -47,9 +50,11 @@ function unb64(s) {{
 const pts = new Float32Array(unb64(PTS_B64).buffer);
 const col = new Uint8Array(unb64(COL_B64).buffer);
 const conf = new Float32Array(unb64(CONF_B64).buffer);
+const IDX = IDX_B64 ? new Uint32Array(unb64(IDX_B64).buffer) : null;
 const N = pts.length / 3;
 let confLo = Infinity, confHi = -Infinity;
 for (let i = 0; i < conf.length; i++) {{
+  if (conf[i] < -1e29) continue;   // invalid-vertex sentinel (mesh grids)
   if (conf[i] < confLo) confLo = conf[i];
   if (conf[i] > confHi) confHi = conf[i];
 }}
@@ -91,6 +96,13 @@ gl.bufferData(gl.ARRAY_BUFFER, conf, gl.STATIC_DRAW);
 const ak = gl.getAttribLocation(prog, "k");
 gl.enableVertexAttribArray(ak);
 gl.vertexAttribPointer(ak, 1, gl.FLOAT, false, 0, 0);
+let ibuf = null;
+if (IDX) {{
+  gl.getExtension("OES_element_index_uint");  // uint32 indices (WebGL1)
+  ibuf = gl.createBuffer();
+  gl.bindBuffer(gl.ELEMENT_ARRAY_BUFFER, ibuf);
+  gl.bufferData(gl.ELEMENT_ARRAY_BUFFER, IDX, gl.STATIC_DRAW);
+}}
 
 // frusta as line segments, rebuilt when the cam-size slider moves
 const fbuf = gl.createBuffer();
@@ -163,7 +175,7 @@ function mul44(A, B) {{
     for (let k = 0; k < 4; k++) C[i][j] += A[i][k] * B[k][j];
   return C; }}
 
-let confThr = -Infinity;
+let confThr = confLo;
 function draw() {{
   canvas.width = window.innerWidth; canvas.height = window.innerHeight;
   gl.viewport(0, 0, canvas.width, canvas.height);
@@ -178,7 +190,12 @@ function draw() {{
   gl.vertexAttribPointer(ac, 3, gl.FLOAT, false, 0, 0);
   gl.bindBuffer(gl.ARRAY_BUFFER, kbuf);
   gl.vertexAttribPointer(ak, 1, gl.FLOAT, false, 0, 0);
-  gl.drawArrays(gl.POINTS, 0, N);
+  if (ibuf && document.getElementById("mesh").checked) {{
+    gl.bindBuffer(gl.ELEMENT_ARRAY_BUFFER, ibuf);
+    gl.drawElements(gl.TRIANGLES, IDX.length, gl.UNSIGNED_INT, 0);
+  }} else {{
+    gl.drawArrays(gl.POINTS, 0, N);
+  }}
   if (document.getElementById("frusta").checked && fARR.length) {{
     gl.bindBuffer(gl.ARRAY_BUFFER, fbuf);
     gl.vertexAttribPointer(ap, 3, gl.FLOAT, false, 0, 0);
@@ -207,11 +224,16 @@ window.addEventListener("mousemove", (e) => {{
 canvas.addEventListener("wheel", (e) => {{
   dist *= Math.exp(e.deltaY * 0.001); draw(); e.preventDefault(); }});
 document.getElementById("frusta").addEventListener("change", draw);
+if (IDX) {{
+  document.getElementById("meshlab").style.display = "";
+  document.getElementById("mesh").addEventListener("change", draw);
+}}
 const confEl = document.getElementById("confthr");
 function applyConf() {{
   const pct = parseFloat(confEl.value);
-  confThr = pct <= 0 ? -Infinity
-    : confLo + (pct / 100) * (confHi - confLo);
+  // slider 0 = the lowest VALID conf: invalid mesh verts (sentinel -1e30)
+  // stay hidden in points mode at every slider position
+  confThr = confLo + (pct / 100) * (confHi - confLo);
   document.getElementById("confval").textContent =
     pct <= 0 ? "" : confThr.toFixed(2);
   draw();
@@ -225,10 +247,30 @@ draw();
 """
 
 
+def _grid_mesh_indices(masks_s: np.ndarray) -> np.ndarray:
+    """Triangle indices over per-frame strided grids: two triangles per
+    2x2 neighborhood whose four vertices are all valid (the reference's
+    pts3d_to_trimesh quad rule, dust3r/viz.py) — vectorised, vertices
+    numbered frame-major row-major."""
+    n, H, W = masks_s.shape
+    base = (np.arange(n)[:, None, None] * H * W
+            + np.arange(H - 1)[None, :, None] * W
+            + np.arange(W - 1)[None, None, :])          # top-left vertex id
+    tl, tr = base, base + 1
+    bl, br = base + W, base + W + 1
+    ok = (masks_s[:, :-1, :-1] & masks_s[:, :-1, 1:]
+          & masks_s[:, 1:, :-1] & masks_s[:, 1:, 1:])
+    tl, tr, bl, br = (x[ok] for x in (tl, tr, bl, br))
+    tris = np.concatenate([np.stack([tl, bl, tr], -1),
+                           np.stack([tr, bl, br], -1)], axis=0)
+    return np.ascontiguousarray(tris.reshape(-1), np.uint32)
+
+
 def export_scene_html(pts3d: np.ndarray, colors: np.ndarray, masks,
                       poses: np.ndarray, focals, path: str,
                       title: str = "Align3R scene",
-                      max_points: int = 400_000, confs=None) -> str:
+                      max_points: int = 400_000, confs=None,
+                      mesh: bool = False) -> str:
     """Write a standalone interactive viewer.
 
     pts3d: (n, H, W, 3) world points; colors: (n, H, W, 3) in [0, 1];
@@ -237,23 +279,57 @@ def export_scene_html(pts3d: np.ndarray, colors: np.ndarray, masks,
     so the viewer's min-conf slider re-thresholds interactively (the
     reference gradio demo's min_conf_thr control, demo.py:234).
     Subsamples uniformly to max_points.
+
+    mesh=True embeds grid-topology triangles as well (the gradio demo's
+    default as_pointcloud=False view): frames are STRIDED (not uniformly
+    subsampled) so 2x2 neighborhoods stay intact, and the viewer gets a
+    mesh/points toggle. Invalid-vertex quads are dropped like
+    pts3d_to_trimesh's quad rule.
     """
-    pts = np.asarray(pts3d).reshape(-1, 3)
-    cols = np.asarray(colors).reshape(-1, 3)
-    kf = (np.ones(len(pts), np.float32) if confs is None
-          else np.asarray(confs, np.float32).reshape(-1))
-    m = np.asarray(masks).reshape(-1).astype(bool)
-    pts, cols, kf = pts[m], cols[m], kf[m]
-    if len(pts) > max_points:
-        idx = np.linspace(0, len(pts) - 1, max_points).astype(int)
-        pts, cols, kf = pts[idx], cols[idx], kf[idx]
+    pts3d = np.asarray(pts3d)
+    colors = np.asarray(colors)
+    masks_a = np.asarray(masks).astype(bool)
+    kf3 = (np.ones(pts3d.shape[:-1], np.float32) if confs is None
+           else np.asarray(confs, np.float32).reshape(pts3d.shape[:-1]))
+    idx_b64 = ""
+    if mesh:
+        n, H, W = pts3d.shape[:3]
+        s = 1
+        while n * -(-H // s) * -(-W // s) > max_points:
+            s += 1
+        pts3d = pts3d[:, ::s, ::s]
+        colors = colors[:, ::s, ::s]
+        masks_s = masks_a[:, ::s, ::s]
+        kf3 = kf3[:, ::s, ::s]
+        tris = _grid_mesh_indices(masks_s)
+        idx_b64 = base64.b64encode(tris.tobytes()).decode()
+        # mesh vertex buffers keep the full strided grid (topology needs
+        # stable ids); invalid verts are only reachable via dropped quads
+        pts = pts3d.reshape(-1, 3)
+        cols = colors.reshape(-1, 3)
+        # invalid verts carry a -1e30 sentinel: below every slider value
+        # (points mode hides them) and skipped by the JS conf-range scan
+        kf = np.where(masks_s.reshape(-1), kf3.reshape(-1),
+                      np.float32(-1e30)).astype(np.float32)
+    else:
+        pts = pts3d.reshape(-1, 3)
+        cols = colors.reshape(-1, 3)
+        kf = kf3.reshape(-1)
+        m = masks_a.reshape(-1)
+        pts, cols, kf = pts[m], cols[m], kf[m]
+        if len(pts) > max_points:
+            idx = np.linspace(0, len(pts) - 1, max_points).astype(int)
+            pts, cols, kf = pts[idx], cols[idx], kf[idx]
     pts = np.ascontiguousarray(pts, np.float32)
     cols8 = np.ascontiguousarray(np.clip(cols * 255, 0, 255), np.uint8)
     kf = np.ascontiguousarray(kf, np.float32)
 
-    center = pts.mean(axis=0) if len(pts) else np.zeros(3)
-    spread = float(np.percentile(np.linalg.norm(pts - center, axis=1), 90)) \
-        if len(pts) else 1.0
+    stats_pts = pts[kf > -1e29] if mesh else pts   # exclude invalid verts
+    if not len(stats_pts):
+        stats_pts = np.zeros((1, 3), np.float32)
+    center = stats_pts.mean(axis=0)
+    spread = float(np.percentile(
+        np.linalg.norm(stats_pts - center, axis=1), 90)) or 1.0
     cams = []
     for i, T in enumerate(np.asarray(poses)):
         f = float(np.asarray(focals).reshape(-1)[min(i, len(np.asarray(focals).reshape(-1)) - 1)])
@@ -265,6 +341,7 @@ def export_scene_html(pts3d: np.ndarray, colors: np.ndarray, masks,
         pts_b64=base64.b64encode(pts.tobytes()).decode(),
         col_b64=base64.b64encode(cols8.tobytes()).decode(),
         conf_b64=base64.b64encode(kf.tobytes()).decode(),
+        idx_b64=idx_b64,
         cams_json=json.dumps(cams),
         center_json=json.dumps([float(x) for x in center]),
         spread=repr(float(spread)),
@@ -275,10 +352,14 @@ def export_scene_html(pts3d: np.ndarray, colors: np.ndarray, masks,
     return path
 
 
-def export_scene_result_html(scene, path: str, title: str = "Align3R scene"):
-    """Convenience wrapper over a pipeline.SceneResult."""
+def export_scene_result_html(scene, path: str, title: str = "Align3R scene",
+                             mesh: bool = True):
+    """Convenience wrapper over a pipeline.SceneResult. mesh=True matches
+    the reference demo's default as_pointcloud=False (grid-mesh view);
+    the exported file has a live mesh/points toggle either way."""
     imgs01 = (scene.imgs * 0.5 + 0.5) if scene.imgs is not None else \
         np.zeros(scene.get_pts3d().shape, np.float32)
     return export_scene_html(scene.get_pts3d(), imgs01, scene.get_masks(),
                              scene.get_im_poses(), scene.get_focals(),
-                             path, title=title, confs=scene.get_conf())
+                             path, title=title, confs=scene.get_conf(),
+                             mesh=mesh)

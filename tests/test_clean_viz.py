@@ -216,3 +216,59 @@ def test_html_viewer_initial_camera_sees_the_scene():
                                     os.path.join(td, "s.html"))
             frac = default_view_visible_fraction(open(out).read())
         assert frac > 0.7, (scale, offset, frac)
+
+
+def test_html_viewer_mesh_mode():
+    """mesh=True embeds grid-topology triangles (the gradio demo's default
+    as_pointcloud=False view): quads with any invalid vertex are dropped
+    (pts3d_to_trimesh's rule), indices stay in range, strided frames keep
+    2x2 neighborhoods intact, and invalid verts carry the -1e30 sentinel."""
+    import base64
+    import re
+    import numpy as np
+    import tempfile, os
+    from align3r_tpu.eval.html_viewer import export_scene_html
+
+    rng = np.random.default_rng(3)
+    n, H, W = 2, 10, 14
+    pts = (rng.standard_normal((n, H, W, 3)) + [0, 0, 4]).astype(np.float32)
+    cols = rng.uniform(0, 1, (n, H, W, 3)).astype(np.float32)
+    confs = rng.uniform(1, 9, (n, H, W)).astype(np.float32)
+    masks = np.ones((n, H, W), bool)
+    masks[0, :3, :5] = False          # a dead patch: its quads must vanish
+    with tempfile.TemporaryDirectory() as td:
+        out = export_scene_html(pts, cols, masks, poses=np.stack([np.eye(4)] * n),
+                                focals=np.array([50.0, 50.0]),
+                                path=os.path.join(td, "m.html"), mesh=True,
+                                confs=confs)
+        html = open(out).read()
+    idx = np.frombuffer(base64.b64decode(
+        re.search(r'IDX_B64 = "([^"]*)"', html).group(1)), np.uint32)
+    kf = np.frombuffer(base64.b64decode(
+        re.search(r'CONF_B64 = "([^"]*)"', html).group(1)), np.float32)
+    nv = n * H * W                    # no striding needed at this size
+    assert kf.size == nv
+    assert idx.size % 3 == 0 and idx.max() < nv
+    # all-valid scene would have 2 tris per interior quad; dead patch removes
+    valid_quads = int((masks[:, :-1, :-1] & masks[:, :-1, 1:]
+                       & masks[:, 1:, :-1] & masks[:, 1:, 1:]).sum())
+    assert idx.size == valid_quads * 6
+    # no triangle references an invalid vertex
+    flat_mask = masks.reshape(-1)
+    assert flat_mask[idx].all()
+    # sentinel on invalid verts, real conf elsewhere
+    assert (kf[~flat_mask] < -1e29).all()
+    np.testing.assert_array_equal(kf[flat_mask], confs.reshape(-1)[flat_mask])
+    assert 'id="mesh"' in html and "drawElements" in html
+    # striding kicks in when over budget and keeps indices consistent
+    with tempfile.TemporaryDirectory() as td:
+        out = export_scene_html(pts, cols, masks, np.stack([np.eye(4)] * n),
+                                np.array([50.0, 50.0]),
+                                os.path.join(td, "m2.html"), mesh=True,
+                                max_points=80)
+        html2 = open(out).read()
+    idx2 = np.frombuffer(base64.b64decode(
+        re.search(r'IDX_B64 = "([^"]*)"', html2).group(1)), np.uint32)
+    kf2 = np.frombuffer(base64.b64decode(
+        re.search(r'CONF_B64 = "([^"]*)"', html2).group(1)), np.float32)
+    assert kf2.size <= 80 and idx2.max() < kf2.size
