@@ -34,7 +34,8 @@ _TEMPLATE = """<!DOCTYPE html>
    value="0" style="width:90px; vertical-align:middle"></label>
  <span id="confval"></span>
  | <label>cam size <input type="range" id="camsize" min="10" max="400"
-   value="100" style="width:70px; vertical-align:middle"></label></div>
+   value="100" style="width:70px; vertical-align:middle"></label>
+ <label><input type="checkbox" id="camimgs" checked> images</label></div>
 <canvas id="gl"></canvas>
 <script>
 const PTS_B64 = "{pts_b64}";
@@ -107,25 +108,64 @@ if (IDX) {{
 // frusta as line segments, rebuilt when the cam-size slider moves
 const fbuf = gl.createBuffer();
 let fARR = new Float32Array(0);
+function camCorners(cam, scaleMul) {{
+  const T = cam.pose, s = cam.scale * scaleMul;
+  const w = s, h = s * (cam.aspect || 0.66), z = s * 1.2;
+  const corners = [[-w,-h,z],[w,-h,z],[w,h,z],[-w,h,z]];
+  const tf = (p) => [
+    T[0][0]*p[0]+T[0][1]*p[1]+T[0][2]*p[2]+T[0][3],
+    T[1][0]*p[0]+T[1][1]*p[1]+T[1][2]*p[2]+T[1][3],
+    T[2][0]*p[0]+T[2][1]*p[1]+T[2][2]*p[2]+T[2][3]];
+  return {{ o: tf([0,0,0]), cs: corners.map(tf) }};
+}}
+let planeARR = new Float32Array(0);
 function buildFrusta(scaleMul) {{
-  let fverts = [];
+  let fverts = [], pverts = [];
   for (const cam of CAMS) {{
-    const T = cam.pose, f = cam.focal, s = cam.scale * scaleMul;
-    const w = s, h = s * 0.66, z = s * 1.2;
-    const corners = [[-w,-h,z],[w,-h,z],[w,h,z],[-w,h,z]];
-    const tf = (p) => [
-      T[0][0]*p[0]+T[0][1]*p[1]+T[0][2]*p[2]+T[0][3],
-      T[1][0]*p[0]+T[1][1]*p[1]+T[1][2]*p[2]+T[1][3],
-      T[2][0]*p[0]+T[2][1]*p[1]+T[2][2]*p[2]+T[2][3]];
-    const o = tf([0,0,0]); const cs = corners.map(tf);
+    const {{ o, cs }} = camCorners(cam, scaleMul);
     for (let i = 0; i < 4; i++) {{
       fverts.push(...o, ...cs[i], ...cs[i], ...cs[(i+1)%4]);
     }}
+    // image plane: two triangles over the frustum base, uv matches the
+    // reference's textured add_scene_cam (y flipped: row 0 = top)
+    pverts.push(...cs[0], 0, 1, ...cs[1], 1, 1, ...cs[2], 1, 0,
+                ...cs[0], 0, 1, ...cs[2], 1, 0, ...cs[3], 0, 0);
   }}
   fARR = new Float32Array(fverts);
   gl.bindBuffer(gl.ARRAY_BUFFER, fbuf);
   gl.bufferData(gl.ARRAY_BUFFER, fARR, gl.STATIC_DRAW);
+  planeARR = new Float32Array(pverts);
+  gl.bindBuffer(gl.ARRAY_BUFFER, planebuf);
+  gl.bufferData(gl.ARRAY_BUFFER, planeARR, gl.STATIC_DRAW);
 }}
+
+// textured camera-image planes (reference demo textures each frustum,
+// dust3r/viz.py add_scene_cam)
+const tvs = `attribute vec3 p; attribute vec2 t; uniform mat4 mvp;
+ varying vec2 vt; void main() {{ gl_Position = mvp * vec4(p, 1.0); vt = t; }}`;
+const tfs = `precision mediump float; varying vec2 vt; uniform sampler2D tex;
+ void main() {{ gl_FragColor = texture2D(tex, vt); }}`;
+const tprog = gl.createProgram();
+gl.attachShader(tprog, shader(gl.VERTEX_SHADER, tvs));
+gl.attachShader(tprog, shader(gl.FRAGMENT_SHADER, tfs));
+gl.linkProgram(tprog);
+const planebuf = gl.createBuffer();
+const camTex = [];
+CAMS.forEach((cam, i) => {{
+  if (!cam.img) return;
+  const tex = gl.createTexture();
+  const im = new Image();
+  im.onload = () => {{
+    gl.bindTexture(gl.TEXTURE_2D, tex);
+    gl.texImage2D(gl.TEXTURE_2D, 0, gl.RGBA, gl.RGBA, gl.UNSIGNED_BYTE, im);
+    gl.texParameteri(gl.TEXTURE_2D, gl.TEXTURE_MIN_FILTER, gl.LINEAR);
+    gl.texParameteri(gl.TEXTURE_2D, gl.TEXTURE_WRAP_S, gl.CLAMP_TO_EDGE);
+    gl.texParameteri(gl.TEXTURE_2D, gl.TEXTURE_WRAP_T, gl.CLAMP_TO_EDGE);
+    camTex[i] = tex;
+    draw();
+  }};
+  im.src = cam.img;
+}});
 buildFrusta(1.0);
 
 const center = {center_json};
@@ -181,8 +221,9 @@ function draw() {{
   gl.viewport(0, 0, canvas.width, canvas.height);
   gl.clearColor(0.07, 0.07, 0.07, 1); gl.clear(gl.COLOR_BUFFER_BIT);
   gl.enable(gl.DEPTH_TEST);
-  const mvp = gl.getUniformLocation(prog, "mvp");
-  gl.uniformMatrix4fv(mvp, false, mat());
+  const m = mat();
+  gl.useProgram(prog);
+  gl.uniformMatrix4fv(gl.getUniformLocation(prog, "mvp"), false, m);
   gl.uniform1f(gl.getUniformLocation(prog, "uthr"), confThr);
   gl.bindBuffer(gl.ARRAY_BUFFER, pbuf);
   gl.vertexAttribPointer(ap, 3, gl.FLOAT, false, 0, 0);
@@ -206,6 +247,23 @@ function draw() {{
     gl.drawArrays(gl.LINES, 0, fARR.length / 3);
     gl.enableVertexAttribArray(ac);
     gl.enableVertexAttribArray(ak);
+  }}
+  if (document.getElementById("camimgs").checked && planeARR.length) {{
+    gl.useProgram(tprog);
+    gl.uniformMatrix4fv(gl.getUniformLocation(tprog, "mvp"), false, m);
+    const tp = gl.getAttribLocation(tprog, "p");
+    const tt = gl.getAttribLocation(tprog, "t");
+    gl.bindBuffer(gl.ARRAY_BUFFER, planebuf);
+    gl.enableVertexAttribArray(tp);
+    gl.vertexAttribPointer(tp, 3, gl.FLOAT, false, 20, 0);
+    gl.enableVertexAttribArray(tt);
+    gl.vertexAttribPointer(tt, 2, gl.FLOAT, false, 20, 12);
+    for (let i = 0; i < CAMS.length; i++) {{
+      if (!camTex[i]) continue;
+      gl.bindTexture(gl.TEXTURE_2D, camTex[i]);
+      gl.drawArrays(gl.TRIANGLES, i * 6, 6);
+    }}
+    gl.useProgram(prog);
   }}
 }}
 let dragging = false, lx = 0, ly = 0, shift = false;
@@ -241,6 +299,7 @@ function applyConf() {{
 confEl.addEventListener("input", applyConf);
 document.getElementById("camsize").addEventListener("input", (e) => {{
   buildFrusta(parseFloat(e.target.value) / 100); draw(); }});
+document.getElementById("camimgs").addEventListener("change", draw);
 window.addEventListener("resize", draw);
 draw();
 </script></body></html>
@@ -330,11 +389,37 @@ def export_scene_html(pts3d: np.ndarray, colors: np.ndarray, masks,
     center = stats_pts.mean(axis=0)
     spread = float(np.percentile(
         np.linalg.norm(stats_pts - center, axis=1), 90)) or 1.0
+    def cam_thumb(i):
+        """Per-camera JPEG thumbnail data URL from the colour frames — the
+        reference textures each frustum with its image (dust3r/viz.py
+        add_scene_cam). None when colours aren't (n, H, W, 3) frames."""
+        if colors.ndim != 4 or i >= colors.shape[0]:
+            return None
+        try:
+            import io
+            import PIL.Image
+            im = PIL.Image.fromarray(
+                np.clip(colors[i] * 255, 0, 255).astype(np.uint8))
+            if im.width > 128:
+                im = im.resize((128, max(1, round(128 * im.height / im.width))))
+            buf = io.BytesIO()
+            im.save(buf, "JPEG", quality=70)
+            return ("data:image/jpeg;base64,"
+                    + base64.b64encode(buf.getvalue()).decode())
+        except Exception:  # pragma: no cover — PIL missing/odd dtype
+            return None
+
     cams = []
     for i, T in enumerate(np.asarray(poses)):
         f = float(np.asarray(focals).reshape(-1)[min(i, len(np.asarray(focals).reshape(-1)) - 1)])
-        cams.append({"pose": np.asarray(T, np.float64).tolist(),
-                     "focal": f, "scale": 0.05 * spread})
+        cam = {"pose": np.asarray(T, np.float64).tolist(),
+               "focal": f, "scale": 0.05 * spread}
+        if colors.ndim == 4:
+            cam["aspect"] = float(colors.shape[1] / colors.shape[2])
+        thumb = cam_thumb(i)
+        if thumb:
+            cam["img"] = thumb
+        cams.append(cam)
 
     html = _TEMPLATE.format(
         title=title, npts=len(pts), ncams=len(cams),

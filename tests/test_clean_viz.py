@@ -108,6 +108,10 @@ def test_html_viewer_export(tmp_path):
     np.testing.assert_array_equal(k_dec, flat_k[idx])
     for el in ('id="confthr"', 'id="camsize"', "discard", "buildFrusta"):
         assert el in html, el
+    # each camera frustum carries its image as an embedded JPEG texture
+    # (reference demo textures frusta via add_scene_cam, dust3r/viz.py)
+    assert html.count("data:image/jpeg;base64,") == n
+    assert "texture2D" in html and 'id="camimgs"' in html
 
 
 def test_clean_pointcloud_matches_reference_oracle():
