@@ -276,3 +276,32 @@ def test_html_viewer_mesh_mode():
     kf2 = np.frombuffer(base64.b64decode(
         re.search(r'CONF_B64 = "([^"]*)"', html2).group(1)), np.float32)
     assert kf2.size <= 80 and idx2.max() < kf2.size
+
+
+def test_html_viewer_script_consistency():
+    """No JS engine exists in this image, so statically sanity-check the
+    generated script: every getElementById target exists as an id= in the
+    markup, braces/parens/brackets are balanced, and no unsubstituted
+    {placeholder} survives templating."""
+    import re
+    import numpy as np
+    import tempfile, os
+    from align3r_tpu.eval.html_viewer import export_scene_html
+    rng = np.random.default_rng(0)
+    n, H, W = 2, 8, 12
+    with tempfile.TemporaryDirectory() as td:
+        out = export_scene_html(
+            (rng.standard_normal((n, H, W, 3)) + [0, 0, 3]).astype(np.float32),
+            rng.uniform(0, 1, (n, H, W, 3)).astype(np.float32),
+            np.ones((n, H, W), bool), np.stack([np.eye(4)] * n),
+            np.array([50.0, 50.0]), os.path.join(td, "s.html"), mesh=True)
+        html = open(out).read()
+    script = html.split("<script>")[1].split("</script>")[0]
+    for wanted in set(re.findall(r'getElementById\("([^"]+)"\)', script)):
+        assert f'id="{wanted}"' in html, wanted
+    # strip b64/data payloads (quoted strings) before counting brackets
+    stripped = re.sub(r'"[^"\n]*"', '""', script)
+    stripped = re.sub(r"`[^`]*`", "``", stripped)
+    for o, c in (("{", "}"), ("(", ")"), ("[", "]")):
+        assert stripped.count(o) == stripped.count(c), (o, c)
+    assert not re.search(r"\{[a-z_]+\}", html), "unsubstituted placeholder"
