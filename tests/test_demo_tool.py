@@ -54,3 +54,36 @@ def test_demo_cli_end_to_end(demo_fixture, tmp_path):
     assert "[-f[0], -f[1], -f[2], tz]" in html
     depths = np.stack([np.load(seq / f"frame_{i:04d}.npy") for i in range(4)])
     assert np.isfinite(depths).all() and (depths > 0).all()
+
+
+def test_demo_cli_video_input(demo_fixture, tmp_path):
+    """demo.py on a VIDEO file (reference demo accepts videos through the
+    same load_images entry): fps-strided decode, zero priors for frames,
+    full reconstruct to the artifact set."""
+    import cv2
+    from tool.demo import main
+    H, W, n_frames = 48, 64, 8
+    vid = str(tmp_path / "clip.avi")
+    wr = cv2.VideoWriter(vid, cv2.VideoWriter_fourcc(*"MJPG"), 12.0, (W, H))
+    assert wr.isOpened()
+    rng = np.random.default_rng(7)
+    for _ in range(n_frames):
+        wr.write(rng.integers(0, 255, (H, W, 3), np.uint8))
+    wr.release()
+
+    out = tmp_path / "vout"
+    argv = ["demo.py", "--weights", str(demo_fixture / "tiny.pth"),
+            "--input_dir", vid, "--output_dir", str(out),
+            "--seq_name", "vid", "--image_size", "224", "--niter", "5",
+            "--fps", "6"]   # every 2nd frame -> 4 views
+    old = sys.argv
+    sys.argv = argv
+    try:
+        main()
+    finally:
+        sys.argv = old
+    seq = out / "vid"
+    names = sorted(os.listdir(seq))
+    assert "scene.html" in names and "pred_traj.txt" in names
+    traj = np.loadtxt(seq / "pred_traj.txt")
+    assert traj.shape == (4, 8) and np.isfinite(traj).all()
