@@ -126,10 +126,11 @@ function buildFrusta(scaleMul) {{
     for (let i = 0; i < 4; i++) {{
       fverts.push(...o, ...cs[i], ...cs[i], ...cs[(i+1)%4]);
     }}
-    // image plane: two triangles over the frustum base, uv matches the
-    // reference's textured add_scene_cam (y flipped: row 0 = top)
-    pverts.push(...cs[0], 0, 1, ...cs[1], 1, 1, ...cs[2], 1, 0,
-                ...cs[0], 0, 1, ...cs[2], 1, 0, ...cs[3], 0, 0);
+    // image plane: two triangles over the frustum base. Camera convention
+    // is y-down (image row 0 projects to -y), and the uploaded DOM image's
+    // texture v=0 is its top row (no UNPACK_FLIP_Y): -h corners get v=0
+    pverts.push(...cs[0], 0, 0, ...cs[1], 1, 0, ...cs[2], 1, 1,
+                ...cs[0], 0, 0, ...cs[2], 1, 1, ...cs[3], 0, 1);
   }}
   fARR = new Float32Array(fverts);
   gl.bindBuffer(gl.ARRAY_BUFFER, fbuf);
@@ -219,7 +220,8 @@ let confThr = confLo;
 function draw() {{
   canvas.width = window.innerWidth; canvas.height = window.innerHeight;
   gl.viewport(0, 0, canvas.width, canvas.height);
-  gl.clearColor(0.07, 0.07, 0.07, 1); gl.clear(gl.COLOR_BUFFER_BIT);
+  gl.clearColor(0.07, 0.07, 0.07, 1);
+  gl.clear(gl.COLOR_BUFFER_BIT | gl.DEPTH_BUFFER_BIT);
   gl.enable(gl.DEPTH_TEST);
   const m = mat();
   gl.useProgram(prog);
@@ -347,6 +349,7 @@ def export_scene_html(pts3d: np.ndarray, colors: np.ndarray, masks,
     """
     pts3d = np.asarray(pts3d)
     colors = np.asarray(colors)
+    thumb_src = colors                   # full-res frames for cam thumbnails
     masks_a = np.asarray(masks).astype(bool)
     kf3 = (np.ones(pts3d.shape[:-1], np.float32) if confs is None
            else np.asarray(confs, np.float32).reshape(pts3d.shape[:-1]))
@@ -354,7 +357,10 @@ def export_scene_html(pts3d: np.ndarray, colors: np.ndarray, masks,
     if mesh:
         n, H, W = pts3d.shape[:3]
         s = 1
-        while n * -(-H // s) * -(-W // s) > max_points:
+        # bounded: the product floors at n once s >= max(H, W) — with more
+        # frames than the budget allows, export the coarsest grid
+        while (s < max(H, W)
+               and n * -(-H // s) * -(-W // s) > max_points):
             s += 1
         pts3d = pts3d[:, ::s, ::s]
         colors = colors[:, ::s, ::s]
@@ -392,14 +398,17 @@ def export_scene_html(pts3d: np.ndarray, colors: np.ndarray, masks,
     def cam_thumb(i):
         """Per-camera JPEG thumbnail data URL from the colour frames — the
         reference textures each frustum with its image (dust3r/viz.py
-        add_scene_cam). None when colours aren't (n, H, W, 3) frames."""
-        if colors.ndim != 4 or i >= colors.shape[0]:
+        add_scene_cam). None when colours aren't (n, H, W, 3) frames or the
+        frame is synthesized zeros (no-image scenes would otherwise show
+        opaque black planes at every camera)."""
+        if thumb_src.ndim != 4 or i >= thumb_src.shape[0] \
+                or not np.any(thumb_src[i]):
             return None
         try:
             import io
             import PIL.Image
             im = PIL.Image.fromarray(
-                np.clip(colors[i] * 255, 0, 255).astype(np.uint8))
+                np.clip(thumb_src[i] * 255, 0, 255).astype(np.uint8))
             if im.width > 128:
                 im = im.resize((128, max(1, round(128 * im.height / im.width))))
             buf = io.BytesIO()
@@ -414,8 +423,8 @@ def export_scene_html(pts3d: np.ndarray, colors: np.ndarray, masks,
         f = float(np.asarray(focals).reshape(-1)[min(i, len(np.asarray(focals).reshape(-1)) - 1)])
         cam = {"pose": np.asarray(T, np.float64).tolist(),
                "focal": f, "scale": 0.05 * spread}
-        if colors.ndim == 4:
-            cam["aspect"] = float(colors.shape[1] / colors.shape[2])
+        if thumb_src.ndim == 4:
+            cam["aspect"] = float(thumb_src.shape[1] / thumb_src.shape[2])
         thumb = cam_thumb(i)
         if thumb:
             cam["img"] = thumb

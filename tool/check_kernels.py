@@ -27,6 +27,9 @@ def main():
                          "gate the whole measurement batch.")
     args = ap.parse_args()
     only = set(args.only.split(",")) if args.only else None
+    if only is not None and (bad := only - {"core", "chunked_edge"}):
+        ap.error(f"unknown --only section(s) {sorted(bad)} — a typo here "
+                 "would run ZERO checks and print ALL OK")
 
     def want(name, default=True):
         return (name in only) if only is not None else default

@@ -82,6 +82,9 @@ def _breakdown(cfg, data, params, masks, niter):
     pw34 = jnp.take(pw34, data.packed_perm, axis=0).astype(jnp.float32)
     from align3r_tpu.alignment.scene import depth_to_pts3d_packed
     proj_p = depth_to_pts3d_packed(params, data, c, meta.la)
+    if meta.nc and proj_p.shape[0] < meta.n:   # chunked kernel: pad images
+        proj_p = jnp.pad(proj_p, [(0, meta.n - proj_p.shape[0]),
+                                  (0, 0), (0, 0), (0, 0)])
 
     def kern_loss(pp, pw):
         return el.edge_loss(meta, pp, pw, data.packed_pred, data.packed_w,
@@ -196,7 +199,7 @@ def main():
         p = results[name][0]
         d = max(float(np.abs(np.asarray(p[k]) - np.asarray(ref[k])).max())
                 for k in ("im_poses", "im_focals"))
-        print(f"{name:14s} max |param - fp32| = {d:.5f}")
+        print(f"{name:14s} max |param - {ref_name}| = {d:.5f}")
 
 
 if __name__ == "__main__":
