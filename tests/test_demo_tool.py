@@ -87,3 +87,46 @@ def test_demo_cli_video_input(demo_fixture, tmp_path):
     assert "scene.html" in names and "pred_traj.txt" in names
     traj = np.loadtxt(seq / "pred_traj.txt")
     assert traj.shape == (4, 8) and np.isfinite(traj).all()
+
+
+def test_demo_refine_cli_end_to_end(demo_fixture, tmp_path):
+    """tool/demo_refine.py e2e: reconstruct then PromptDA full-resolution
+    refinement, with a tiny random PromptDepthAnything saved locally (the
+    HF loader path demo_refine uses, no downloads)."""
+    import torch
+    from transformers import PromptDepthAnythingConfig, Dinov2Config
+    from transformers.models.prompt_depth_anything.modeling_prompt_depth_anything \
+        import PromptDepthAnythingForDepthEstimation
+    torch.manual_seed(0)
+    bc = Dinov2Config(hidden_size=32, num_hidden_layers=4,
+                      num_attention_heads=4, intermediate_size=64,
+                      patch_size=14, image_size=70,
+                      out_features=["stage1", "stage2", "stage3", "stage4"],
+                      apply_layernorm=True, reshape_hidden_states=False)
+    cfg = PromptDepthAnythingConfig(
+        backbone_config=bc, patch_size=14, reassemble_factors=[4, 2, 1, 0.5],
+        neck_hidden_sizes=[16, 24, 32, 32], fusion_hidden_size=16,
+        head_hidden_size=8, reassemble_hidden_size=32,
+        depth_estimation_type="metric", max_depth=1.0)
+    pda_dir = str(tmp_path / "pda_tiny")
+    PromptDepthAnythingForDepthEstimation(cfg).eval().save_pretrained(pda_dir)
+
+    from tool.demo_refine import main
+    out = tmp_path / "rout"
+    argv = ["demo_refine.py", "--weights", str(demo_fixture / "tiny.pth"),
+            "--input_dir", str(demo_fixture), "--output_dir", str(out),
+            "--seq_name", "ref", "--image_size", "224", "--niter", "5",
+            "--promptda_model", pda_dir]
+    old = sys.argv
+    sys.argv = argv
+    try:
+        main()
+    finally:
+        sys.argv = old
+    seq = out / "ref"
+    refined = sorted(p for p in os.listdir(seq) if p.endswith("_refined.npy"))
+    assert len(refined) == 4
+    # refinement runs at the ORIGINAL on-disk resolution (48x64 fixtures),
+    # not the model resolution
+    d = np.load(seq / refined[0])
+    assert d.shape == (48, 64) and np.isfinite(d).all()
