@@ -274,3 +274,25 @@ def test_fused_chunked_solve_loop():
     losses = np.asarray(losses)
     assert np.isfinite(losses).all()
     assert losses[-1] < losses[0]
+
+
+def test_fused_chunked_vmaps_over_scenes():
+    """batched.py's vmap over stacked scenes must also work when the
+    scenes pack CHUNKED (pallas batching rule + scalar-prefetched index
+    maps): per-scene values and grads match the unbatched kernel."""
+    from align3r_tpu.alignment.batched import stack_scenes, stack_params
+    scenes = [_synthetic_scene(n=300, H=8, W=16, seed=s, graph="swin-1")
+              for s in (0, 1)]
+    cfg = scenes[0][0]
+    packed = [(c, pack_scene(d, c, dtype=jnp.float32), p)
+              for c, d, p in scenes]
+    ds = stack_scenes([d for _, d, _ in packed])
+    ps = stack_params([p for _, _, p in packed])
+    v = jax.vmap(lambda p, d: _pairwise_pts_loss_fused(p, d, cfg))(ps, ds)
+    for s, (c, d, p) in enumerate(packed):
+        ref = float(_pairwise_pts_loss_fused(p, d, c))
+        assert abs(float(v[s]) - ref) < 1e-6 * max(1.0, abs(ref))
+    g = jax.vmap(lambda p, d: jax.grad(_pairwise_pts_loss_fused)(p, d, cfg))(ps, ds)
+    g0 = jax.grad(_pairwise_pts_loss_fused)(packed[0][2], packed[0][1], cfg)
+    np.testing.assert_allclose(np.asarray(g["im_poses"])[0],
+                               np.asarray(g0["im_poses"]), atol=1e-6)
