@@ -24,6 +24,11 @@ class BatchedRandomSampler:
 
     def __init__(self, dataset, batch_size, num_ar: int, world_size=1, rank=0,
                  drop_last=True):
+        if world_size > 1 and not drop_last:
+            # a ragged final batch slices unequal per-rank item counts,
+            # desynchronizing batch counts across DP ranks (hangs the first
+            # collective) — same guard as DataLoader.__init__
+            raise ValueError("world_size > 1 requires drop_last=True")
         self.batch_size = batch_size
         self.num_ar = num_ar
         self.len_dataset = N = len(dataset)
