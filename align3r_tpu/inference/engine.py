@@ -207,6 +207,60 @@ def sharded_engine_fns(mesh, cfg, img_hw, dtype, head_dtype, attn_impl,
     return enc_sh, dec_sh
 
 
+# ---------------------------------------------------- multi-chip (dp x tp)
+#
+# With a 2-D ('data', 'model') mesh the engine adds Megatron-style tensor
+# parallelism: qkv/fc1 column-sharded, proj/fc2 row-sharded over 'model'
+# (parallel/shardings.py), batch over 'data'. This path goes through jit +
+# GSPMD in_shardings — XLA inserts the one all-reduce per sublayer — and
+# therefore runs the XLA attention path: a pallas_call is an opaque custom
+# call the partitioner cannot split over heads, while the einsum graph it
+# replaces partitions cleanly. Use dp-only meshes for peak throughput
+# (fused kernels); use tp when per-chip HBM or per-request latency binds.
+
+
+def tp_engine_fns(mesh, params, cfg, img_hw, dtype, head_dtype,
+                  stacked_heads, head_conv_impl, unroll):
+    """(encode_fn, decode_fn) for a mesh whose 'model' axis is > 1. Cached
+    like sharded_engine_fns. `params` is only used for its pytree
+    structure (specs must match the stream-stacked engine params)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from align3r_tpu.parallel.shardings import engine_param_shardings
+    key = ("tp", mesh, cfg, img_hw, jnp.dtype(dtype).name,
+           jnp.dtype(head_dtype).name, stacked_heads, head_conv_impl,
+           unroll)
+    hit = _SHARDED_CACHE.get(key)
+    if hit is not None:
+        return hit
+    pshard = engine_param_shardings(params, mesh)
+    dsh = NamedSharding(mesh, P("data"))
+    bsh = NamedSharding(mesh, P(None, "data"))
+    rep = NamedSharding(mesh, P())
+
+    def enc(params, im, pr):
+        feats, _ = encode_images(params, im, cfg, dtype, "xla")
+        pc_tok, _ = embed_point_cloud(params, pr, cfg, dtype)
+        return feats, pc_tok
+
+    enc_sh = jax.jit(enc, in_shardings=(pshard, dsh, dsh),
+                     out_shardings=dsh)
+
+    def dec(params, feats, pc_tok, bi, bj):
+        return _decode_all_scan(params, feats, pc_tok, bi, bj, cfg, img_hw,
+                                dtype, head_dtype, "xla", stacked_heads,
+                                head_conv_impl, unroll)
+
+    dec_scan = jax.jit(dec, in_shardings=(pshard, rep, rep, bsh, bsh),
+                       out_shardings=bsh)
+
+    def dec_sh(params, feats, pc_tok, bi, bj):
+        o1, o2 = dec_scan(params, feats, pc_tok, bi, bj)
+        return _flat_batches(o1), _flat_batches(o2)
+
+    _SHARDED_CACHE[key] = (enc_sh, dec_sh)
+    return enc_sh, dec_sh
+
+
 def inference(pairs: Sequence[Tuple[int, int]], params, cfg: Align3RConfig,
               imgs: jnp.ndarray, priors: jnp.ndarray,
               batch_size: int = 16, dtype=jnp.bfloat16,
@@ -221,6 +275,12 @@ def inference(pairs: Sequence[Tuple[int, int]], params, cfg: Align3RConfig,
     run dp-sharded over it via shard_map (each chip runs the Pallas site
     kernels on its slice of images / pairs; params and feats are
     replicated). batch_size and encode_chunk must divide the 'data' size.
+    If the mesh also has a 'model' axis > 1, the engine switches to 2-D
+    dp x tp serving: params Megatron-sharded over 'model' (GSPMD inserts
+    the per-sublayer all-reduces), batch over 'data', XLA attention path
+    (Pallas kernels cannot be compiler-partitioned). 'model' must divide
+    both head counts. Use tp when per-chip HBM or latency binds; dp-only
+    keeps the fused kernels and peak throughput.
 
     pairs: list of (i, j) index edges; imgs: (n, H, W, 3) normalised,
     landscape; priors: (n, H, W, 3) normalised prior pointclouds.
@@ -280,10 +340,26 @@ def inference(pairs: Sequence[Tuple[int, int]], params, cfg: Align3RConfig,
             raise ValueError(
                 f"batch_size={batch_size} and encode_chunk={encode_chunk} "
                 f"must divide the mesh 'data' size {nd}")
-        enc_sh, dec_sh = sharded_engine_fns(
-            mesh, cfg, (H, W), dtype, head_dtype, attn_impl, stacked_heads,
-            head_conv_impl, unroll, encode_attn_impl)
-        params = jax.device_put(params, NamedSharding(mesh, P()))
+        if dict(mesh.shape).get("model", 1) > 1:
+            # 2-D mesh: tensor parallelism over 'model' (GSPMD, XLA
+            # attention path — see tp_engine_fns) + batch over 'data'
+            from align3r_tpu.parallel.shardings import engine_param_shardings
+            n_heads = min(cfg.enc_num_heads, cfg.dec_num_heads)
+            if n_heads % mesh.shape["model"]:
+                raise ValueError(
+                    f"mesh 'model' size {mesh.shape['model']} must divide "
+                    f"the head counts ({cfg.enc_num_heads} enc / "
+                    f"{cfg.dec_num_heads} dec)")
+            enc_sh, dec_sh = tp_engine_fns(
+                mesh, params, cfg, (H, W), dtype, head_dtype,
+                stacked_heads, head_conv_impl, unroll)
+            params = jax.device_put(params,
+                                    engine_param_shardings(params, mesh))
+        else:
+            enc_sh, dec_sh = sharded_engine_fns(
+                mesh, cfg, (H, W), dtype, head_dtype, attn_impl,
+                stacked_heads, head_conv_impl, unroll, encode_attn_impl)
+            params = jax.device_put(params, NamedSharding(mesh, P()))
 
     # 1-2) per-image encoder + prior embed, chunked to bound memory
     feats_l, pc_l = [], []

@@ -72,6 +72,41 @@ def align3r_param_specs(params: Dict) -> Dict:
     return specs
 
 
+def _insert_stream_axis(spec_tree, axis: int = 1):
+    """Shift specs for params that gained an extra stacking axis at `axis`
+    (the engine's dec_blocks_lg stream stacking: (L, ...) -> (L, 2, ...)).
+    Fully-replicated P() stays P() (rank-agnostic)."""
+    def shift(s):
+        parts = list(s)
+        if not parts:
+            return s
+        while len(parts) < axis:
+            parts.append(None)
+        parts.insert(axis, None)
+        return P(*parts)
+    return jax.tree.map(shift, spec_tree,
+                        is_leaf=lambda x: isinstance(x, P))
+
+
+def engine_param_specs(params: Dict) -> Dict:
+    """PartitionSpec pytree for the inference engine's param dict (i.e.
+    after models.align3r.stack_decoder_params): align3r_param_specs plus
+    the 'dec_blocks_lg' stream-stacked decoder twin, whose (L, 2, ...)
+    leaves take the dec-block specs shifted by the stream axis."""
+    base = {k: v for k, v in params.items() if k != "dec_blocks_lg"}
+    specs = align3r_param_specs(base)
+    if "dec_blocks_lg" in params:
+        specs["dec_blocks_lg"] = _insert_stream_axis(_dec_block_spec(True))
+    return specs
+
+
+def engine_param_shardings(params: Dict, mesh: Mesh):
+    """NamedSharding pytree matching an engine param dict exactly."""
+    specs = engine_param_specs(params)
+    return _map_with_prefix(lambda _, s: NamedSharding(mesh, s), params,
+                            specs)
+
+
 def _map_with_prefix(fn, params, specs):
     """Apply fn(leaf, spec); a PartitionSpec in `specs` covers the whole
     matching param subtree (prefix semantics)."""

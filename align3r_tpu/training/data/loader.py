@@ -20,7 +20,16 @@ import numpy as np
 
 class BatchedRandomSampler:
     """Yields (idx, ar_idx) pairs; consecutive `batch_size` items share
-    ar_idx so a batch has one resolution."""
+    ar_idx so a batch has one resolution.
+
+    Single-process iteration order is BIT-IDENTICAL to the reference's
+    seed-777 contract (batched_sampler.py:39-60). Documented deviation for
+    world_size>1: the reference hands each rank a contiguous run of WHOLE
+    batches (torch-DDP convention: batch_size is per-GPU); here every rank
+    takes a 1/world_size slice of EVERY batch (JAX convention: batch_size
+    is the global batch, sharded over the mesh) — the epoch's global sample
+    set and per-batch contents are identical, only the rank->item routing
+    differs."""
 
     def __init__(self, dataset, batch_size, num_ar: int, world_size=1, rank=0,
                  drop_last=True):
@@ -32,7 +41,10 @@ class BatchedRandomSampler:
         self.batch_size = batch_size
         self.num_ar = num_ar
         self.len_dataset = N = len(dataset)
-        self.total_size = ((N // batch_size) * batch_size if drop_last else N)
+        # round_by(N, batch_size*world_size), matching the reference
+        # (batched_sampler.py:26) so the epoch's sample set is identical
+        self.total_size = ((N // (batch_size * world_size))
+                           * batch_size * world_size if drop_last else N)
         self.world_size = world_size
         self.rank = rank
         self.epoch = None
@@ -44,11 +56,23 @@ class BatchedRandomSampler:
         self.epoch = epoch
 
     def __iter__(self):
-        seed = 777 + (self.epoch or 0)
+        if self.epoch is None:
+            # reference (batched_sampler.py:41-44): undistributed runs
+            # without set_epoch draw a fresh random seed each epoch
+            assert self.world_size == 1 and self.rank == 0, \
+                "use set_epoch() in distributed mode"
+            seed = int(np.random.SeedSequence().entropy % (2 ** 63))
+        else:
+            seed = self.epoch + 777
         rng = np.random.default_rng(seed=seed)
-        idxs = rng.permutation(self.len_dataset)[: self.total_size]
+        # shuffle arange(total_size) in place — bit-identical RNG stream to
+        # the reference (batched_sampler.py:47-53): items >= total_size are
+        # never sampled in a drop_last epoch, and the subsequent
+        # aspect-ratio draws consume the same generator state
+        idxs = np.arange(self.total_size)
+        rng.shuffle(idxs)
         n_batches = (self.total_size + self.batch_size - 1) // self.batch_size
-        ar = rng.integers(0, self.num_ar, size=n_batches)
+        ar = rng.integers(self.num_ar, size=n_batches)
         per = self.batch_size // self.world_size
         for b in range(n_batches):
             # per-batch chunking (no reshape: the last batch may be ragged

@@ -206,3 +206,60 @@ def test_resized_dataset_matches_reference_data_order():
             ours.set_epoch(epoch)
             RefResized.set_epoch(theirs, epoch)
             np.testing.assert_array_equal(ours._idxs, theirs._idxs_mapping)
+
+
+def test_batched_sampler_matches_reference_order():
+    """Bit-exact seed-777 iteration-order contract vs the reference sampler
+    (batched_sampler.py:39-60): same shuffle stream (arange(total_size)
+    shuffled in place), same aspect-ratio draws, same drop_last rounding.
+    For world_size>1 the rank->item ROUTING deviates by design (global-batch
+    sharding vs whole-batches-per-rank, see loader.py docstring) but every
+    global batch's contents and feature index must still match."""
+    from tests.reference_import import (reference_available,
+                                        reference_on_path,
+                                        install_reference_dep_stubs)
+    if not reference_available():
+        pytest.skip("reference repo not present")
+    install_reference_dep_stubs()
+
+    class Dummy:
+        def __len__(self):
+            return 23
+
+    with reference_on_path():
+        from dust3r.datasets.base.batched_sampler import (
+            BatchedRandomSampler as RefSampler)
+        # single process: exact (idx, ar) sequence
+        ours = BatchedRandomSampler(Dummy(), batch_size=4, num_ar=3)
+        ref = RefSampler(Dummy(), batch_size=4, pool_size=3)
+        for epoch in (0, 3):
+            ours.set_epoch(epoch)
+            ref.set_epoch(epoch)
+            np.testing.assert_array_equal(np.asarray(list(ours)),
+                                          np.asarray(list(ref)))
+
+        # world_size=2: same global batches, rank-sliced differently
+        ws, bs = 2, 4
+        ref_all = []
+        for rank in range(ws):
+            r = RefSampler(Dummy(), batch_size=bs, pool_size=3,
+                           world_size=ws, rank=rank)
+            r.set_epoch(1)
+            ref_all.append(np.asarray(list(r)))
+        # reference ranks take contiguous whole batches: global order is
+        # rank0's batches then rank1's
+        ref_glob = np.concatenate(ref_all, axis=0)
+        our_batches = []
+        for rank in range(ws):
+            s = BatchedRandomSampler(Dummy(), batch_size=bs, num_ar=3,
+                                     world_size=ws, rank=rank)
+            s.set_epoch(1)
+            our_batches.append(np.asarray(list(s)))
+        # our global batch b = concat of each rank's per-batch slice
+        per = bs // ws
+        n_batches = len(ref_glob) // bs
+        ours_glob = np.concatenate(
+            [np.concatenate([our_batches[r][b * per:(b + 1) * per]
+                             for r in range(ws)], axis=0)
+             for b in range(n_batches)], axis=0)
+        np.testing.assert_array_equal(ours_glob, ref_glob)

@@ -279,3 +279,34 @@ def test_inference_dp_sharded_matches_unsharded():
     with _pytest.raises(ValueError):
         inference(pairs, params, cfg, imgs, priors, mesh=mesh,
                   batch_size=6, dtype=jnp.float32)
+
+
+def test_inference_tp_sharded_matches_unsharded():
+    """A 2-D ('data','model') mesh runs the engine tensor-parallel (qkv/fc1
+    column-, proj/fc2 row-sharded over 'model' via GSPMD; XLA attention
+    path) — outputs must match the single-device engine."""
+    from align3r_tpu.parallel.mesh import make_mesh
+    cfg = TINY_TEST
+    params = init_align3r(jax.random.PRNGKey(0), cfg)
+    n, H, W = 5, 32, 48
+    imgs = jax.random.normal(jax.random.PRNGKey(1), (n, H, W, 3))
+    priors = jax.random.uniform(jax.random.PRNGKey(2), (n, H, W, 3))
+    pairs = make_pairs(n, "complete", symmetrize=True)   # 20 edges
+    kw = dict(batch_size=4, encode_chunk=4, dtype=jnp.float32,
+              head_dtype=jnp.float32, attn_impl="xla",
+              encode_attn_impl="xla")
+    ref = inference(pairs, params, cfg, imgs, priors, **kw)
+    mesh = make_mesh(n_data=2, n_model=4)
+    out = inference(pairs, params, cfg, imgs, priors, mesh=mesh, **kw)
+    for side, key in (("pred1", "pts3d"), ("pred2", "pts3d_in_other_view"),
+                      ("pred1", "conf"), ("pred2", "conf")):
+        np.testing.assert_allclose(np.asarray(out[side][key]),
+                                   np.asarray(ref[side][key]),
+                                   atol=1e-4, rtol=1e-4,
+                                   err_msg=f"{side}.{key}")
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="divide the head counts"):
+        # TINY_TEST has 4 enc / 4 dec heads: model=8 cannot split them
+        inference(pairs, params, cfg, imgs, priors,
+                  mesh=make_mesh(n_data=1, n_model=8), **kw)

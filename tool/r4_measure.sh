@@ -76,6 +76,7 @@ stage site 1800 python -u tool/profile_site.py --reps 30
 
 # whole-decode-program A/B of the winning-looking head group vs default
 stage decode_hg1 1800 python -u tool/profile_decode.py --which decode --reps 10
+stage decode_hg2 1800 env ALIGN3R_HEAD_GROUP=2 python -u tool/profile_decode.py --which decode --reps 10
 stage decode_hg4 1800 env ALIGN3R_HEAD_GROUP=4 python -u tool/profile_decode.py --which decode --reps 10
 # device trace of the engine-default decode loop: the VPU-vs-MXU occupancy
 # evidence for the per-site SOL-gap question (VERDICT r3 next #4)
