@@ -302,6 +302,7 @@ def inference(pairs: Sequence[Tuple[int, int]], params, cfg: Align3RConfig,
     n, H, W, _ = imgs.shape
     assert W >= H, "engine expects landscape images (pre-transpose portraits)"
 
+    explicit_attn, explicit_enc_attn = attn_impl, encode_attn_impl
     if attn_impl is None:
         # fused Pallas sites win on TPU (engine sweep: 128.9 vs 104.5
         # pairs/s at bs=16, tool/tune_engine.py); interpret-mode Pallas on
@@ -344,12 +345,27 @@ def inference(pairs: Sequence[Tuple[int, int]], params, cfg: Align3RConfig,
             # 2-D mesh: tensor parallelism over 'model' (GSPMD, XLA
             # attention path — see tp_engine_fns) + batch over 'data'
             from align3r_tpu.parallel.shardings import engine_param_shardings
-            n_heads = min(cfg.enc_num_heads, cfg.dec_num_heads)
-            if n_heads % mesh.shape["model"]:
+            m = mesh.shape["model"]
+            # BOTH head counts must divide, or the sharding silently stops
+            # being the documented head-aligned Megatron layout (GSPMD pads
+            # and communicates instead) — check each (ADVICE r4 #1)
+            if cfg.enc_num_heads % m or cfg.dec_num_heads % m:
                 raise ValueError(
-                    f"mesh 'model' size {mesh.shape['model']} must divide "
+                    f"mesh 'model' size {m} must divide "
                     f"the head counts ({cfg.enc_num_heads} enc / "
                     f"{cfg.dec_num_heads} dec)")
+            # the tp path runs XLA attention (Pallas kernels are opaque to
+            # the GSPMD partitioner); an explicitly requested fused impl
+            # must not be silently swapped (ADVICE r4 #4)
+            import warnings
+            for knob, val in (("attn_impl", explicit_attn),
+                              ("encode_attn_impl", explicit_enc_attn)):
+                if val not in (None, "xla"):
+                    warnings.warn(
+                        f"{knob}={val!r} is ignored on a mesh with "
+                        f"'model' axis {m} > 1: tensor parallelism runs "
+                        "the XLA attention path (Pallas kernels cannot be "
+                        "compiler-partitioned)", stacklevel=2)
             enc_sh, dec_sh = tp_engine_fns(
                 mesh, params, cfg, (H, W), dtype, head_dtype,
                 stacked_heads, head_conv_impl, unroll)

@@ -38,6 +38,13 @@ class BatchedRandomSampler:
             # desynchronizing batch counts across DP ranks (hangs the first
             # collective) — same guard as DataLoader.__init__
             raise ValueError("world_size > 1 requires drop_last=True")
+        if world_size > 1 and batch_size % world_size:
+            # per = batch_size // world_size would silently drop
+            # batch_size % world_size items from EVERY batch on all ranks
+            # and desynchronise __len__ from the yielded count (ADVICE r4 #2)
+            raise ValueError(
+                f"batch_size {batch_size} must be divisible by "
+                f"world_size {world_size}")
         self.batch_size = batch_size
         self.num_ar = num_ar
         self.len_dataset = N = len(dataset)
@@ -58,9 +65,12 @@ class BatchedRandomSampler:
     def __iter__(self):
         if self.epoch is None:
             # reference (batched_sampler.py:41-44): undistributed runs
-            # without set_epoch draw a fresh random seed each epoch
-            assert self.world_size == 1 and self.rank == 0, \
-                "use set_epoch() in distributed mode"
+            # without set_epoch draw a fresh random seed each epoch.
+            # A hard raise (not assert, which python -O strips): each rank
+            # drawing its own SeedSequence here would silently desynchronise
+            # the training data across DP ranks (ADVICE r4 #3)
+            if self.world_size != 1 or self.rank != 0:
+                raise RuntimeError("use set_epoch() in distributed mode")
             seed = int(np.random.SeedSequence().entropy % (2 ** 63))
         else:
             seed = self.epoch + 777
@@ -115,6 +125,12 @@ class DataLoader:
             # desynchronising batch counts across data-parallel ranks and
             # hanging the first collective of the train step
             raise ValueError("world_size > 1 requires drop_last=True")
+        if world_size > 1 and batch_size % world_size:
+            # mirror of the sampler guard: per_rank truncation would drop
+            # items from every batch silently (ADVICE r4 #2)
+            raise ValueError(
+                f"batch_size {batch_size} must be divisible by "
+                f"world_size {world_size}")
         self.dataset = dataset
         self.batch_size = batch_size
         self.per_rank = batch_size // world_size if world_size > 1 else batch_size

@@ -117,6 +117,38 @@ def test_batched_sampler_shares_resolution():
     assert not set(i0) & set(i1)
 
 
+def test_sampler_and_loader_reject_indivisible_world_size():
+    """batch_size % world_size != 0 would silently drop items from every
+    batch (per = batch_size // world_size) — both the sampler and the
+    DataLoader must refuse it up front (ADVICE r4 #2)."""
+    import pytest
+    from align3r_tpu.training.data.loader import DataLoader
+
+    class Dummy:
+        def __len__(self):
+            return 40
+    with pytest.raises(ValueError, match="divisible"):
+        BatchedRandomSampler(Dummy(), batch_size=5, num_ar=3,
+                             world_size=2, rank=0)
+    with pytest.raises(ValueError, match="divisible"):
+        DataLoader(Dummy(), batch_size=5, world_size=2, rank=0)
+
+
+def test_sampler_distributed_without_set_epoch_raises():
+    """Distributed iteration without set_epoch() must raise a RuntimeError
+    (not a strippable assert): per-rank fresh seeds silently desynchronise
+    the training data across DP ranks (ADVICE r4 #3)."""
+    import pytest
+
+    class Dummy:
+        def __len__(self):
+            return 40
+    s = BatchedRandomSampler(Dummy(), batch_size=4, num_ar=3,
+                             world_size=2, rank=1)
+    with pytest.raises(RuntimeError, match="set_epoch"):
+        next(iter(s))
+
+
 def test_data_loader_batches(synth_root):
     ds = PointodysseyDatasets(split="train", ROOT=synth_root,
                               resolution=(96, 64), seed=777)

@@ -310,3 +310,36 @@ def test_inference_tp_sharded_matches_unsharded():
         # TINY_TEST has 4 enc / 4 dec heads: model=8 cannot split them
         inference(pairs, params, cfg, imgs, priors,
                   mesh=make_mesh(n_data=1, n_model=8), **kw)
+
+
+def test_inference_tp_guards_and_warns():
+    """The tp guard must check BOTH head counts (a 'model' size dividing
+    only the smaller one silently loses the head-aligned Megatron layout,
+    ADVICE r4 #1), and an explicitly-requested fused attn_impl must warn
+    when the tp path swaps in XLA attention (ADVICE r4 #4)."""
+    import warnings
+    import pytest
+    from align3r_tpu.models.config import Align3RConfig
+    from align3r_tpu.parallel.mesh import make_mesh
+
+    # enc=4 heads, dec=2 heads: model=4 divides enc but NOT dec
+    cfg = Align3RConfig(img_size=(32, 32), enc_embed_dim=64, enc_depth=2,
+                        enc_num_heads=4, dec_embed_dim=32, dec_depth=12,
+                        dec_num_heads=2)
+    params = init_align3r(jax.random.PRNGKey(0), cfg)
+    n, H, W = 3, 32, 32
+    imgs = jax.random.normal(jax.random.PRNGKey(1), (n, H, W, 3))
+    priors = jax.random.uniform(jax.random.PRNGKey(2), (n, H, W, 3))
+    pairs = [(0, 1), (1, 2)]
+    kw = dict(batch_size=2, encode_chunk=2, dtype=jnp.float32,
+              head_dtype=jnp.float32)
+    with pytest.raises(ValueError, match="divide the head counts"):
+        inference(pairs, params, cfg, imgs, priors,
+                  mesh=make_mesh(n_data=2, n_model=4), **kw)
+
+    # model=2 divides both: runs, but an explicit fused request must warn
+    with pytest.warns(UserWarning, match="XLA attention"):
+        out = inference(pairs, params, cfg, imgs, priors,
+                        mesh=make_mesh(n_data=2, n_model=2),
+                        attn_impl="fused", **kw)
+    assert np.isfinite(np.asarray(out["pred1"]["pts3d"])).all()
