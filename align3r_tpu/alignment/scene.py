@@ -368,41 +368,85 @@ def _chunk_layout(idx_np: np.ndarray, meta) -> tuple:
             np.asarray(first, np.int32))
 
 
+@functools.partial(jax.jit, static_argnames=("e2", "la", "dtype", "cs"))
+def _pack_terms_streamed(pred_i, pred_j, w_i, w_j, perm, valid,
+                         e2: int, la: int, dtype, cs: int):
+    """Gather + lane-pack the 2E edge terms into (e2, 3, la, 128) /
+    (e2, la, 128) buffers CHUNK BY CHUNK via a lax.scan carry.
+
+    The one-shot pack (concat -> moveaxis -> pad -> reshape -> take) peaks
+    at ~5 full-scene fp32 transients; at r4's n=300 validation scale
+    (2,950 edges, A=36,864) that blows 16 GB HBM inside pack_scene
+    (VERDICT r4 weak #3). Scanning cs-term chunks into a preallocated
+    bf16 carry keeps the transient set to O(cs * A) while XLA updates the
+    carried buffers in place; total HBM traffic is the same single pass."""
+    from align3r_tpu.ops import edge_loss as el
+    E, A, _ = pred_i.shape
+    norm = float(E * A)     # divide (not multiply-by-reciprocal): bit-parity
+    ncs = e2 // cs
+    perm2 = perm.reshape(ncs, cs)
+    valid2 = valid.reshape(ncs, cs)
+
+    def gather(rows, a, b):
+        from_i = rows < E
+        ga = jnp.take(a, jnp.where(from_i, rows, 0), axis=0)
+        gb = jnp.take(b, jnp.where(from_i, 0, rows - E), axis=0)
+        cond = from_i.reshape((cs,) + (1,) * (ga.ndim - 1))
+        return jnp.where(cond, ga, gb)
+
+    def body(carry, xs):
+        pb, wb = carry
+        k, rows, val = xs
+        pred = gather(rows, pred_i, pred_j)                 # (cs, A, 3)
+        w = gather(rows, w_i, w_j) / norm                   # (cs, A)
+        w = w * val[:, None].astype(w.dtype)
+        pp = el.pack_points(pred, la, dtype)                # (cs, 3, la, 128)
+        wp = el.pack_scalars(w, la, dtype)                  # (cs, la, 128)
+        pb = jax.lax.dynamic_update_slice(pb, pp, (k * cs, 0, 0, 0))
+        wb = jax.lax.dynamic_update_slice(wb, wp, (k * cs, 0, 0))
+        return (pb, wb), None
+
+    init = (jnp.zeros((e2, 3, la, 128), dtype),
+            jnp.zeros((e2, la, 128), dtype))
+    (pb, wb), _ = jax.lax.scan(
+        body, init, (jnp.arange(ncs, dtype=jnp.int32), perm2, valid2))
+    return pb, wb
+
+
 def pack_scene(data: SceneData, cfg: SceneConfig,
                dtype=jnp.bfloat16) -> SceneData:
     """One-time packing of the frozen observations into the fused kernel's
-    lane layout (done before the solve; ~1 pass over the data). For scenes
-    beyond the single-chunk VMEM residency bound, edge terms are sorted by
-    image into nc-image chunks (ops/edge_loss.py chunked kernel)."""
-    from align3r_tpu.ops import edge_loss as el
+    lane layout (done before the solve; ~1 pass over the data, streamed in
+    chunks so no full-scene fp32 transient is ever materialised). For
+    scenes beyond the single-chunk VMEM residency bound, edge terms are
+    sorted by image into nc-image chunks (ops/edge_loss.py chunked
+    kernel)."""
     meta = _edge_meta(cfg)
-    A = data.grid.shape[0]
     E = data.ei.shape[0]
-    pred = jnp.concatenate([data.pred_i, data.pred_j], axis=0)     # (2E, A, 3)
-    w = jnp.concatenate([data.weight_i, data.weight_j], axis=0) / (E * A)
-    idx = jnp.concatenate([data.ei, data.ej], axis=0)
-    pred_p = el.pack_points(pred, meta.la, dtype)
-    w_p = el.pack_scalars(w, meta.la, dtype)
+    idx_np = np.concatenate([np.asarray(data.ei, np.int64),
+                             np.asarray(data.ej, np.int64)])
     if meta.nc:
-        slots, perm, idx_local, chunk, first = _chunk_layout(
-            np.asarray(idx, np.int64), meta)
-        valid = slots >= 0
-        pred_p = pred_p[perm]                          # dummy -> term 0 copy
-        w_p = w_p[perm] * jnp.asarray(valid, w_p.dtype)[:, None, None]
-        return dataclasses.replace(
-            data, packed_pred=pred_p, packed_w=w_p,
-            packed_idx=jnp.asarray(idx_local), packed_perm=jnp.asarray(perm),
+        slots, perm, idx_local, chunk, first = _chunk_layout(idx_np, meta)
+        valid = (slots >= 0)
+        packed_idx, extra = jnp.asarray(idx_local), dict(
             packed_chunk=jnp.asarray(chunk), packed_first=jnp.asarray(first))
-    pad_e = meta.e2 - 2 * E
-    if pad_e:
-        pred_p = jnp.pad(pred_p, [(0, pad_e), (0, 0), (0, 0), (0, 0)])
-        w_p = jnp.pad(w_p, [(0, pad_e), (0, 0), (0, 0)])
-        idx = jnp.pad(idx, [(0, pad_e)])
-    perm = np.concatenate([np.arange(2 * E, dtype=np.int32),
-                           np.zeros(pad_e, np.int32)])
+    else:
+        pad_e = meta.e2 - 2 * E
+        perm = np.concatenate([np.arange(2 * E, dtype=np.int32),
+                               np.zeros(pad_e, np.int32)])
+        valid = np.concatenate([np.ones(2 * E, bool), np.zeros(pad_e, bool)])
+        packed_idx = jnp.asarray(
+            np.concatenate([idx_np, np.zeros(pad_e)]).astype(np.int32))
+        extra = {}
+    cs = 64 if meta.e2 % 64 == 0 else meta.eb      # e2 is a multiple of eb
+    pred_p, w_p = _pack_terms_streamed(
+        data.pred_i, data.pred_j, data.weight_i, data.weight_j,
+        jnp.asarray(perm, jnp.int32), jnp.asarray(valid),
+        e2=meta.e2, la=meta.la, dtype=jnp.dtype(dtype).name, cs=cs)
     return dataclasses.replace(data, packed_pred=pred_p, packed_w=w_p,
-                               packed_idx=idx.astype(jnp.int32),
-                               packed_perm=jnp.asarray(perm))
+                               packed_idx=packed_idx,
+                               packed_perm=jnp.asarray(perm, jnp.int32),
+                               **extra)
 
 
 def depth_to_pts3d_packed(params, data: SceneData, cfg: SceneConfig,

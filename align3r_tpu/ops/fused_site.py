@@ -42,10 +42,12 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 # Heads processed per in-kernel iteration (batched logits/softmax/pv when
-# >1 — see _kernel). Engine-level knob: ALIGN3R_HEAD_GROUP=4 routes every
-# fused site (incl. the custom-VJP training wrappers) through the grouped
-# schedule; tool/profile_site.py is the A/B.
-_DEFAULT_HEAD_GROUP = int(os.environ.get("ALIGN3R_HEAD_GROUP", "1"))
+# >1 — see _kernel). Engine-level knob: ALIGN3R_HEAD_GROUP overrides; the
+# default is 4 (r4 measured, v5e: whole-decode 31.1 vs 33.0 ms/8-pair at
+# hg=1; site-level never slower; outputs BIT-IDENTICAL per
+# tool/check_kernels.py). Sites whose head count 4 does not divide fall
+# back to per-head via _resolve_hg. tool/profile_site.py is the A/B.
+_DEFAULT_HEAD_GROUP = int(os.environ.get("ALIGN3R_HEAD_GROUP", "4"))
 
 
 def _resolve_hg(num_heads: int, head_group: int | None) -> int:

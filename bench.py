@@ -222,21 +222,40 @@ def main():
 
 def _bench_raft():
     """Tertiary metric: SEA-RAFT optical flow (20 iters, the flow-variant
-    aligner's per-edge precompute — reference hot path #3) in ms/image."""
+    aligner's per-edge precompute — reference hot path #3) in ms/image.
+
+    Measured per the repo's r2 discipline (CLAUDE.md): NS solves run inside
+    ONE lax.scan (carry-threaded through the inputs so XLA's loop-invariant
+    code motion cannot hoist the body) — per-program dispatch over the axon
+    tunnel costs a fixed ~28 ms, which at B=8 inflated a per-dispatch
+    measurement by ~3.5 ms/img and made the r2->r4 bench numbers drift with
+    tunnel state (17.1 -> 22.0) while profiled device time held at ~9.7."""
     import jax
     import jax.numpy as jnp
     from align3r_tpu.models.raft import init_raft, raft_forward, SPRING_M
     try:
         rp = init_raft(jax.random.PRNGKey(3), SPRING_M)
-        B = 8
+        B, NS = 8, 4
         i1 = jax.random.uniform(jax.random.PRNGKey(4), (B, H, W, 3)) * 255
         i2 = jax.random.uniform(jax.random.PRNGKey(5), (B, H, W, 3)) * 255
-        flow = jax.jit(lambda a, b: raft_forward(rp, a, b, SPRING_M, iters=20))
-        np.asarray(jnp.sum(flow(i1, i2)))
+
+        @jax.jit
+        def solve_scan(params, a, b):
+            def body(c, _):
+                flow = raft_forward(params, a + c, b, SPRING_M, iters=20)
+                return jnp.mean(flow) * 1e-20, jnp.sum(flow)
+            _, s = jax.lax.scan(body, jnp.float32(0), None, length=NS)
+            return jnp.sum(s)
+
+        np.asarray(solve_scan(rp, i1, i2))
         t0 = time.perf_counter()
-        outs = [flow(i1, i2) for _ in range(3)]
-        np.asarray(sum(jnp.sum(o) for o in outs))
-        return (time.perf_counter() - t0) / 3 / B * 1e3
+        reps = 2
+        acc = None
+        for _ in range(reps):
+            s = solve_scan(rp, i1, i2)
+            acc = s if acc is None else acc + s
+        np.asarray(acc)
+        return (time.perf_counter() - t0) / reps / NS / B * 1e3
     except Exception:  # noqa: BLE001 — keep the bench line printing
         return -1.0
 

@@ -77,6 +77,51 @@ def test_packed_pts3d_matches_pack_of_depth_to_pts3d():
                                    rtol=2e-6, atol=2e-6)
 
 
+def test_pack_scene_streamed_matches_dense_oracle():
+    """pack_scene streams cs-term chunks into a scan-carried buffer (no
+    full-scene fp32 transient — the r4 one-shot pack OOMed 16 GB HBM at
+    n=300 bench scale). The streamed layout must equal the dense oracle
+    (concat -> pack -> perm-gather -> valid-mask) bit-for-bit, for both the
+    single-chunk and the image-chunked kernel."""
+    from align3r_tpu.alignment.scene import _edge_meta
+    for n, graph in ((4, "complete"), (300, "swin-1")):
+        cfg, data, params = _synthetic_scene(n=n, H=8, W=16, graph=graph)
+        meta = _edge_meta(cfg)
+        assert (meta.nc > 0) == (n == 300), meta
+        got = pack_scene(data, cfg, dtype=jnp.float32)
+        E, A = data.ei.shape[0], data.grid.shape[0]
+        pred = jnp.concatenate([data.pred_i, data.pred_j], axis=0)
+        w = jnp.concatenate([data.weight_i, data.weight_j], axis=0) / (E * A)
+        dense_p = el.pack_points(pred, meta.la, jnp.float32)
+        dense_w = el.pack_scalars(w, meta.la, jnp.float32)
+        perm = np.asarray(got.packed_perm)
+        # dummy/pad slots: perm -> 0 with weight exactly 0
+        valid = np.zeros(meta.e2, bool)
+        if meta.nc:
+            slots = np.full(meta.e2, -1, np.int64)
+            # reconstruct validity: a slot is real iff its packed weight
+            # row is nonzero OR it maps to a genuinely zero-weight term;
+            # simpler: recompute the layout
+            from align3r_tpu.alignment.scene import _chunk_layout
+            idx_np = np.concatenate([np.asarray(data.ei, np.int64),
+                                     np.asarray(data.ej, np.int64)])
+            slots, perm2, _, _, _ = _chunk_layout(idx_np, meta)
+            np.testing.assert_array_equal(perm, perm2)
+            valid = slots >= 0
+        else:
+            valid[:2 * E] = True
+        exp_p = np.asarray(dense_p)[perm]
+        exp_w = (np.asarray(dense_w)[perm]
+                 * valid[:, None, None].astype(np.float32))
+        np.testing.assert_array_equal(np.asarray(got.packed_pred), exp_p)
+        # weights carry one fp32 division; XLA jit and eager lower x/const
+        # differently on CPU (~1e-7 rel), so exact-equality is for layout
+        # (zeros stay exactly zero), values to fp32 division tolerance
+        gw = np.asarray(got.packed_w)
+        np.testing.assert_array_equal(gw == 0, exp_w == 0)
+        np.testing.assert_allclose(gw, exp_w, rtol=3e-7, atol=0)
+
+
 def test_fused_loss_and_grads_match_fp32():
     cfg, data, params = _synthetic_scene()
     data_p = pack_scene(data, cfg, dtype=jnp.float32)

@@ -86,23 +86,45 @@ def _breakdown(cfg, data, params, masks, niter):
         proj_p = jnp.pad(proj_p, [(0, meta.n - proj_p.shape[0]),
                                   (0, 0), (0, 0), (0, 0)])
 
-    def kern_loss(pp, pw):
-        return el.edge_loss(meta, pp, pw, data.packed_pred, data.packed_w,
-                            data.packed_idx, data.packed_chunk,
-                            data.packed_first)
+    # the packed observations MUST be jit ARGUMENTS: closing over the
+    # concrete arrays embeds them as HLO literals (~400 MB at bench shapes)
+    # and the axon remote-compile RPC rejects the body with HTTP 413
+    # (VERDICT r4 weak #4)
+    def kern_loss(pp, pw, packed):
+        return el.edge_loss(meta, pp, pw, packed["pred"], packed["w"],
+                            packed["idx"], packed["chunk"], packed["first"])
 
     @jax.jit
-    def kern_scan(pp0, pw0):
+    def kern_scan(pp0, pw0, packed):
         def body(carry, _):
             pp, pw = carry
-            l, (gp, gw) = jax.value_and_grad(kern_loss, argnums=(0, 1))(pp, pw)
+            l, (gp, gw) = jax.value_and_grad(kern_loss, argnums=(0, 1))(
+                pp, pw, packed)
             return (pp - 1e-9 * gp, pw - 1e-9 * gw), l
         (pp, pw), ls = jax.lax.scan(body, (pp0, pw0), None, length=niter)
         return ls
 
-    np.asarray(kern_scan(proj_p, pw34))
+    packed = dict(pred=data.packed_pred, w=data.packed_w,
+                  idx=data.packed_idx, chunk=data.packed_chunk,
+                  first=data.packed_first)
+    if packed["chunk"] is None:     # single-chunk kernel: drop the Nones
+        packed["chunk"] = packed["first"] = jnp.zeros((0,), jnp.int32)
+        kern_loss_sc = lambda pp, pw, pk: el.edge_loss(
+            meta, pp, pw, pk["pred"], pk["w"], pk["idx"])
+
+        @jax.jit
+        def kern_scan(pp0, pw0, packed):  # noqa: F811 — single-chunk twin
+            def body(carry, _):
+                pp, pw = carry
+                l, (gp, gw) = jax.value_and_grad(
+                    kern_loss_sc, argnums=(0, 1))(pp, pw, packed)
+                return (pp - 1e-9 * gp, pw - 1e-9 * gw), l
+            (pp, pw), ls = jax.lax.scan(body, (pp0, pw0), None, length=niter)
+            return ls
+
+    np.asarray(kern_scan(proj_p, pw34, packed))
     t0 = time.perf_counter()
-    np.asarray(kern_scan(proj_p, pw34))
+    np.asarray(kern_scan(proj_p, pw34, packed))
     t_kernel = (time.perf_counter() - t0) / niter
 
     t_floor = timed_loop(_floor_loss)
