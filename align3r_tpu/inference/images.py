@@ -23,6 +23,18 @@ from align3r_tpu.geometry import pixel_to_pointcloud
 IMG_EXTS = (".jpg", ".jpeg", ".png")
 VIDEO_EXTS = (".mp4", ".avi", ".mov")
 
+# HEIF/HEIC input behind an optional import (reference
+# utils/image_pose.py:19-24, 267: extensions join the accepted set only
+# when pillow_heif is installed; it registers a PIL opener so
+# PIL.Image.open handles the files transparently)
+try:
+    from pillow_heif import register_heif_opener  # type: ignore
+    register_heif_opener()
+    IMG_EXTS = IMG_EXTS + (".heic", ".heif")
+    heif_support_enabled = True
+except ImportError:
+    heif_support_enabled = False
+
 
 def _resize_pil(img, long_edge, nearest=False):
     W, H = img.size

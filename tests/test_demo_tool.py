@@ -44,8 +44,14 @@ def test_demo_cli_end_to_end(demo_fixture, tmp_path):
     seq = out / "smoke"
     names = sorted(os.listdir(seq))
     for want in ("pred_traj.txt", "pred_intrinsics.txt", "scene.html",
-                 "frame_0000.npy", "conf_0.npy", "dynamic_mask_0.png"):
+                 "scene.glb", "frame_0000.npy", "conf_0.npy",
+                 "dynamic_mask_0.png"):
         assert want in names, (want, names)
+    # the .glb is a valid binary-glTF container (reference demo.py:100-130)
+    import struct as _struct
+    raw = (seq / "scene.glb").read_bytes()
+    magic, ver, total = _struct.unpack_from("<4sII", raw, 0)
+    assert magic == b"glTF" and ver == 2 and total == len(raw)
     traj = np.loadtxt(seq / "pred_traj.txt")
     assert traj.shape == (4, 8) and np.isfinite(traj).all()
     html = (seq / "scene.html").read_text()

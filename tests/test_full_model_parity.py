@@ -57,6 +57,43 @@ def test_full_model_conversion_forward_parity(oracle):
                                atol=5e-4, rtol=1e-3)
 
 
+def test_bench_default_engine_config_parity(oracle):
+    """Pin the EXACT bench/engine default configuration (bs=32 decode
+    batches, fused Pallas sites, unroll=3, head_group=4) against the torch
+    oracle THROUGH the inference engine, so the perf defaults and the
+    parity gate can never diverge (VERDICT r4 next #7). Runs the fused
+    sites in interpret mode on CPU."""
+    from align3r_tpu.inference.engine import inference
+    from align3r_tpu.inference.pairs import make_pairs
+    from align3r_tpu.models.postprocess import postprocess
+    from align3r_tpu.ops import fused_site as fs
+
+    sd = {k: v.detach().numpy() for k, v in oracle.state_dict().items()}
+    params = convert_state_dict(sd, CFG)
+    rng = np.random.default_rng(1)
+    n, H, W = 3, 32, 48
+    imgs = rng.standard_normal((n, H, W, 3)).astype(np.float32) * 0.5
+    priors = rng.uniform(0, 1, (n, H, W, 3)).astype(np.float32)
+    pairs = make_pairs(n, "complete", symmetrize=True)     # 6 edges
+    assert fs._DEFAULT_HEAD_GROUP == 4      # the shipped default (r4 A/B)
+    out = inference(pairs, params, CFG, jnp.asarray(imgs),
+                    jnp.asarray(priors), batch_size=32,
+                    dtype=jnp.float32, head_dtype=jnp.float32,
+                    attn_impl="fused", encode_attn_impl="fused", unroll=3)
+
+    t = lambda a: torch.from_numpy(a).permute(0, 3, 1, 2)
+    for e, (i, j) in enumerate(pairs):
+        with torch.no_grad():
+            r1t, _ = oracle(t(imgs[i:i + 1]), t(imgs[j:j + 1]),
+                            t(priors[i:i + 1]), t(priors[j:j + 1]))
+        exp1 = postprocess(torch.permute(r1t, (0, 2, 3, 1)).numpy(),
+                           CFG.depth_mode, CFG.conf_mode)
+        np.testing.assert_allclose(
+            np.asarray(out["pred1"]["pts3d"][e]),
+            np.asarray(exp1["pts3d"][0]), atol=5e-4, rtol=1e-3,
+            err_msg=f"edge {e} = ({i},{j})")
+
+
 def test_parity_is_sensitive(oracle):
     """Sanity: perturbing one converted weight breaks parity (the test above
     cannot pass vacuously)."""

@@ -112,6 +112,9 @@ def main():
         from align3r_tpu.eval.html_viewer import export_scene_result_html
         export_scene_result_html(scene, os.path.join(out_dir, "scene.html"),
                                  title=args.seq_name)
+        # self-contained .glb (reference demo.py:100-130 scene.glb export)
+        from align3r_tpu.eval.glb import export_scene_result_glb
+        export_scene_result_glb(scene, os.path.join(out_dir, "scene.glb"))
     print(f"Processing completed. Output saved in {out_dir}")
 
 
