@@ -19,6 +19,7 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 V5E_PEAK_TFLOPS = 197.0  # bf16 peak per chip (public v5e spec)
+V5E_HBM_GBPS = 819.0     # HBM bandwidth per chip (public v5e spec)
 
 
 def main():
@@ -129,6 +130,19 @@ def main():
         print(f"train step [{label}]  {dt*1e3:8.1f} ms/step  "
               f"XLA-counted {flops/1e12:6.2f} TFLOP  ->  {tfs:6.1f} TF/s  "
               f"MFU {tfs/V5E_PEAK_TFLOPS*100:5.1f}% of v5e bf16 peak")
+        # roofline statement (VERDICT r4 next #5): XLA's own bytes-accessed
+        # count vs HBM bandwidth vs the MXU FLOP floor — which side of the
+        # roofline binds this step, and how far from it we run
+        byts = float(ca.get("bytes accessed", 0.0))
+        if byts:
+            t_bw = byts / (V5E_HBM_GBPS * 1e9)
+            t_fl = flops / (V5E_PEAK_TFLOPS * 1e12)
+            bound = "BANDWIDTH" if t_bw > t_fl else "FLOP"
+            sol = max(t_bw, t_fl)
+            print(f"  roofline [{label}]: {byts/2**30:.2f} GiB accessed -> "
+                  f"bw floor {t_bw*1e3:.1f} ms, flop floor {t_fl*1e3:.1f} ms"
+                  f" => {bound}-bound, SOL {sol*1e3:.1f} ms "
+                  f"({sol/dt*100:.0f}% of SOL achieved)")
 
     if args.split:
         _split(args, cfg, state, batch, step_dt.get("auto + remat"))
