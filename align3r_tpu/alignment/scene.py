@@ -602,6 +602,9 @@ def global_alignment_loop(params, masks, data: SceneData, cfg: SceneConfig,
     params, l1, st = _alignment_scan(params, masks, data, lrs[:k], fast_cfg,
                                      loss_fn)
     if fused:
+        # free the bf16 pack BEFORE building the fp32 one — at large scenes
+        # both coexisting during the repack costs ~1.5x the packed footprint
+        data = dataclasses.replace(data, packed_pred=None, packed_w=None)
         data = pack_scene(data, cfg, dtype=jnp.float32)
         params, l2, _ = _alignment_scan(params, masks, data, lrs[k:],
                                         fast_cfg, loss_fn, step0=k,
