@@ -416,9 +416,19 @@ def inference(pairs: Sequence[Tuple[int, int]], params, cfg: Align3RConfig,
         n_batches, batch_size)
     outs1, outs2 = [], []
     n_full = (n_batches // SCAN_NB) * SCAN_NB
-    for s in range(0, n_full, SCAN_NB):
-        ib = jnp.asarray(bi[s:s + SCAN_NB])
-        jb = jnp.asarray(bj[s:s + SCAN_NB])
+    rem = n_batches - n_full
+    # the ragged tail runs as ONE scan too when it spans >1 batch (one
+    # compile per distinct tail length, cached in-process): a bs=32
+    # swinstride bench graph is 7 batches — all tail — and per-batch
+    # dispatch is exactly the host-latency leak the scan design exists to
+    # avoid. A single tail batch reuses the single-batch program instead
+    # of compiling a length-1 scan.
+    groups = [(s, SCAN_NB) for s in range(0, n_full, SCAN_NB)]
+    if rem > 1:
+        groups.append((n_full, rem))
+    for s, ln in groups:
+        ib = jnp.asarray(bi[s:s + ln])
+        jb = jnp.asarray(bj[s:s + ln])
         if dec_sh is not None:
             r1, r2 = dec_sh(params, feats, pc_tok, ib, jb)
         else:
@@ -428,23 +438,22 @@ def inference(pairs: Sequence[Tuple[int, int]], params, cfg: Align3RConfig,
                                      head_conv_impl, unroll, head_group=_hg)
         outs1.append(r1)
         outs2.append(r2)
-    for s in range(n_full, n_batches):
+    if rem == 1:
+        s = n_full
         if dec_sh is not None:
             r1, r2 = dec_sh(params, feats, pc_tok,
                             jnp.asarray(bi[s:s + 1]),
                             jnp.asarray(bj[s:s + 1]))
-            outs1.append(r1)
-            outs2.append(r2)
-            continue
-        i = jnp.asarray(bi[s])
-        j = jnp.asarray(bj[s])
-        r1, r2 = _decode_batch_jit(params, jnp.take(feats, i, axis=0),
-                                   jnp.take(feats, j, axis=0),
-                                   jnp.take(pc_tok, i, axis=0),
-                                   jnp.take(pc_tok, j, axis=0),
-                                   cfg, (H, W), dtype, head_dtype, attn_impl,
-                                   stacked_heads, head_conv_impl, unroll,
-                                   head_group=_hg)
+        else:
+            i = jnp.asarray(bi[s])
+            j = jnp.asarray(bj[s])
+            r1, r2 = _decode_batch_jit(params, jnp.take(feats, i, axis=0),
+                                       jnp.take(feats, j, axis=0),
+                                       jnp.take(pc_tok, i, axis=0),
+                                       jnp.take(pc_tok, j, axis=0),
+                                       cfg, (H, W), dtype, head_dtype,
+                                       attn_impl, stacked_heads,
+                                       head_conv_impl, unroll, head_group=_hg)
         outs1.append(r1)
         outs2.append(r2)
     cat = lambda outs: jax.tree.map(lambda *xs: jnp.concatenate(xs, axis=0)[:E],

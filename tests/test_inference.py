@@ -98,7 +98,7 @@ def test_engine_retraces_on_head_group_flip():
     discriminator so a flipped knob RETRACES instead of silently re-running
     a stale executable (the r4 tune_engine sweep bug). Numerics must be
     invariant (the knob only reschedules the kernel)."""
-    from align3r_tpu.inference.engine import _decode_batch_jit, _encode_all_jit
+    from align3r_tpu.inference.engine import _decode_all_jit, _encode_all_jit
     from align3r_tpu.ops import fused_site as fs
     cfg = TINY_TEST
     params = init_align3r(jax.random.PRNGKey(0), cfg)
@@ -112,11 +112,12 @@ def test_engine_retraces_on_head_group_flip():
         fs._DEFAULT_HEAD_GROUP = 1
         out1 = inference(pairs, params, cfg, imgs, priors, batch_size=2,
                          dtype=jnp.float32)
-        n0 = (_decode_batch_jit._cache_size(), _encode_all_jit._cache_size())
+        # 3 edges at bs=2 -> a 2-batch tail SCAN (_decode_all_jit)
+        n0 = (_decode_all_jit._cache_size(), _encode_all_jit._cache_size())
         fs._DEFAULT_HEAD_GROUP = 2
         out2 = inference(pairs, params, cfg, imgs, priors, batch_size=2,
                          dtype=jnp.float32)
-        n1 = (_decode_batch_jit._cache_size(), _encode_all_jit._cache_size())
+        n1 = (_decode_all_jit._cache_size(), _encode_all_jit._cache_size())
     finally:
         fs._DEFAULT_HEAD_GROUP = old
     assert n1[0] > n0[0] and n1[1] > n0[1], (n0, n1)

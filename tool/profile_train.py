@@ -175,27 +175,42 @@ def _split(args, cfg, state, batch, full_dt):
         return loss
 
     def fwd_bwd(params, batch):
-        (loss, _), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            params, batch, cfg)
+        # remat=False to MATCH fwd_only: the r4 split compared a no-remat
+        # forward against a remat'd fwd+bwd and read a nonsensical negative
+        # backward (-18 ms); with matching regimes backward = grad - fwd
+        (loss, _), grads = jax.value_and_grad(
+            lambda p, b: loss_fn(p, b, cfg, remat=False), has_aux=True)(
+            params, batch)
         # reduce grads to a scalar so nothing is DCE'd but no tree returns
         return loss + sum(jnp.sum(jnp.abs(g) > 1e30)
                           for g in jax.tree.leaves(grads)).astype(loss.dtype)
 
+    # INTERLEAVED reps (the ab_bs discipline): timing the two programs in
+    # separate blocks minutes apart lets tunnel drift swamp an ~18 ms delta
+    names = ("forward (no remat)", "forward+backward  ")
+    jfns = {n: jax.jit(f) for n, f in zip(names, (fwd_only, fwd_bwd))}
+    for n in names:                       # compile + warm both first
+        np.asarray(jfns[n](state.params, batch))
     out = {}
-    for name, fn in (("forward (no remat)", fwd_only),
-                     ("forward+backward  ", fwd_bwd)):
-        jfn = jax.jit(fn)
-        v = jfn(state.params, batch)
-        np.asarray(v)
+    for n in names:
         t0 = time.perf_counter()
         acc = None
         for _ in range(args.reps):
-            v = jfn(state.params, batch)
+            v = jfns[n](state.params, batch)
             acc = v if acc is None else acc + v
         np.asarray(acc)
-        dt = (time.perf_counter() - t0) / args.reps
-        out[name] = dt
-        print(f"split [{name}]  {dt*1e3:8.1f} ms")
+        out.setdefault(n, []).append((time.perf_counter() - t0) / args.reps)
+    for n in names:                       # second pass, reversed drift
+        t0 = time.perf_counter()
+        acc = None
+        for _ in range(args.reps):
+            v = jfns[n](state.params, batch)
+            acc = v if acc is None else acc + v
+        np.asarray(acc)
+        out[n].append((time.perf_counter() - t0) / args.reps)
+    out = {n: min(ts) for n, ts in out.items()}
+    for n in names:
+        print(f"split [{n}]  {out[n]*1e3:8.1f} ms")
     fwd = out["forward (no remat)"]
     grad = out["forward+backward  "]
     print(f"split [backward - forward]  {(grad-fwd)*1e3:8.1f} ms")

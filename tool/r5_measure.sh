@@ -68,7 +68,9 @@ stage train_bs2 2400 python -u tool/profile_train.py --bs 2 --reps 5 --split
 stage train_trace 2400 python -u tool/profile_train.py --bs 2 --reps 3 --trace /tmp/r5_ttrace
 stage train_trace_parse 600 python -u tool/parse_trace.py /tmp/r5_ttrace
 
-stage ab_bs 2400 python -u tool/ab_bs.py --reps 4
+# bumped timeout: the tail-scan engine change adds one decode-scan compile
+# per distinct tail length (bs=16 -> 8-scan + 6-scan, bs=32 -> 7-scan)
+stage ab_bs 3600 python -u tool/ab_bs.py --reps 4
 
 stage eval_smoke 5400 python -u tool/smoke_eval_tools.py --which all --niter 30
 
