@@ -153,7 +153,11 @@ def main():
     pairs = make_pairs(N_FRAMES, "swinstride-5-noncyclic", symmetrize=True)
 
     def run():
-        out = inference(pairs, params, cfg, imgs, priors, batch_size=BATCH)
+        # encode_chunk=N_FRAMES: one unpadded encode dispatch (the default
+        # 16 would encode 24 frames as 16 + 8-real-8-padded, wasting ~8
+        # image encodes ~= 2% of the run)
+        out = inference(pairs, params, cfg, imgs, priors, batch_size=BATCH,
+                        encode_chunk=N_FRAMES)
         # force full execution: on the axon tunnel platform block_until_ready
         # returns early, so pull a scalar reduction back to the host instead
         np.asarray(jnp.sum(out["pred1"]["pts3d"]) + jnp.sum(out["pred2"]["conf"]))
