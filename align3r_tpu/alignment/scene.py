@@ -320,7 +320,7 @@ def _edge_meta(cfg: SceneConfig, n_imgs=None):
     la0 = -(-A // 128)
     e2 = 2 * cfg.n_edges
     n = n_imgs or cfg.n_imgs
-    rb, eb, nc = el.choose_blocks(n)
+    rb, eb, nc = el.choose_blocks(n, la0)
     la = -(-la0 // rb) * rb
     if nc:
         n_chunks = -(-n // nc)

@@ -86,26 +86,36 @@ class EdgeMeta:
 _VMEM_LIMIT = 48 * 1024 * 1024
 
 
-def choose_blocks(n: int, vmem_budget: int = 9 * 2 ** 20):
+def choose_blocks(n: int, la0: int | None = None,
+                  vmem_budget: int = 9 * 2 ** 20):
     """Pick (rb, eb, nc) so the resident proj + d_proj blocks fit VMEM.
 
-    Only `n` matters: the resident set is the (n', 3, rb, 128) proj +
-    d_proj blocks (n' = n for the single-chunk kernel, nc for the
-    image-chunked one); the streamed pred/w blocks scale with eb (fixed
-    at 8) and are small. Backward VMEM ~= 2 buffers * n'*3*rb*128 *
-    (4 + 4) bytes (fp32 proj + fp32 accumulator) + streamed blocks.
+    The resident set is the (n', 3, rb, 128) proj + d_proj blocks (n' = n
+    for the single-chunk kernel, nc for the image-chunked one); the
+    streamed pred/w blocks scale with eb. Backward VMEM ~= 2 buffers *
+    n'*3*rb*128 * (4 + 4) bytes (fp32 proj + fp32 accumulator) + streamed
+    blocks.
 
     nc = 0 keeps the whole scene resident (legacy kernel); when even rb=8
     busts the budget (n beyond ~256) the scene is split into nc-image
     chunks instead of falling back to the XLA path — edge terms are sorted
     by image at pack time so each inner-loop step touches exactly one
     resident chunk and total HBM traffic is unchanged.
+
+    For the CHUNKED case the per-grid-step work must amortize Mosaic's
+    per-step overhead: the r4 config (rb=8, eb=8) put a 26.6k-step grid on
+    the n=300 bench scene and ran 3.3x SLOWER than the XLA one-hot path
+    (7.8 vs 25.5 it/s, /tmp/r5_align_chunked.txt) even though its HBM
+    traffic is far lower. Tall row blocks (rb=32) and wide edge tiles
+    (eb=32) cut the same scene to a ~1.8k-step grid at identical total
+    traffic, trading resident images (nc 128 -> 16) inside the budget.
+    la0 (= ceil(A/128)) caps rb so tiny-area scenes don't pad la to rb.
     """
     eb = 8
 
-    def fits(nn, rr):
+    def fits(nn, rr, ee=eb):
         return (2 * nn * 3 * rr * 128 * 8
-                + 2 * eb * 4 * rr * 128 * 4) <= vmem_budget
+                + 2 * ee * 4 * rr * 128 * 4) <= vmem_budget
 
     # prefer tall row blocks; fall back to rb=8 for image-heavy scenes
     # (fp32 min sublane tile is 8, so rb=8 stays tile-aligned)
@@ -115,11 +125,17 @@ def choose_blocks(n: int, vmem_budget: int = 9 * 2 ** 20):
             if fits(n, cand):
                 rb = cand
         return rb, eb, 0
-    # image-chunked: largest power-of-two chunk that fits at rb=8
+    # image-chunked: big tiles first, then as many resident images as fit
+    eb = 32
+    rb = 32
+    if la0 is not None:
+        rb = max(8, min(rb, -(-la0 // 8) * 8))
+    while rb > 8 and not fits(8, rb, eb):       # degenerate tiny budgets
+        rb //= 2
     nc = 128
-    while nc > 8 and not fits(nc, 8):
+    while nc > 8 and not fits(nc, rb, eb):
         nc //= 2
-    return 8, eb, nc
+    return rb, eb, nc
 
 
 def _pad_to(x, size, axis):

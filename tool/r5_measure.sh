@@ -54,6 +54,9 @@ fi
 
 # the r4 OOM fix validation: n=300 chunked solve with the streamed pack
 stage align_chunked 1800 python -u tool/profile_align.py --frames 300 --hw 144 256 --niter 60 --impls xla-bf16,kernel-bf16,kernel-mixed
+# re-measure after the rb=32/eb=32/nc=16 chunked re-block (the rb=8/eb=8
+# grid ran 26.6k steps and lost to XLA 7.8-vs-25.5 it/s, r5_align_chunked)
+stage align_chunked2 1800 python -u tool/profile_align.py --frames 300 --hw 144 256 --niter 60 --impls xla-bf16,kernel-bf16,kernel-mixed
 # the HTTP-413 fix validation: breakdown at default and chunked scales
 stage align_breakdown 1800 python -u tool/profile_align.py --breakdown
 stage align_breakdown_300 1800 python -u tool/profile_align.py --breakdown --frames 300 --hw 144 256 --niter 60
