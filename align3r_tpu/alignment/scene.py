@@ -377,15 +377,18 @@ def _pack_terms_streamed(pred_i, pred_j, w_i, w_j, perm, valid,
     The one-shot pack (concat -> moveaxis -> pad -> reshape -> take) peaks
     at ~5 full-scene fp32 transients; at r4's n=300 validation scale
     (2,950 edges, A=36,864) that blows 16 GB HBM inside pack_scene
-    (VERDICT r4 weak #3). Scanning cs-term chunks into a preallocated
-    bf16 carry keeps the transient set to O(cs * A) while XLA updates the
-    carried buffers in place; total HBM traffic is the same single pass."""
+    (VERDICT r4 weak #3). The packed blocks come out as scan OUTPUTS
+    (ys stacking — XLA writes each step's slice into the preallocated
+    result; the (ncs, cs, ...) -> (e2, ...) reshape is a free view), NOT
+    as a scan carry: a carried buffer + dynamic_update_slice measured
+    0.88 s at n=300 on v5e — XLA copied the full carry every step."""
     from align3r_tpu.ops import edge_loss as el
     E, A, _ = pred_i.shape
     norm = float(E * A)     # divide (not multiply-by-reciprocal): bit-parity
     ncs = e2 // cs
     perm2 = perm.reshape(ncs, cs)
     valid2 = valid.reshape(ncs, cs)
+    pi, pj = pred_i, pred_j
 
     def gather(rows, a, b):
         from_i = rows < E
@@ -394,23 +397,17 @@ def _pack_terms_streamed(pred_i, pred_j, w_i, w_j, perm, valid,
         cond = from_i.reshape((cs,) + (1,) * (ga.ndim - 1))
         return jnp.where(cond, ga, gb)
 
-    def body(carry, xs):
-        pb, wb = carry
-        k, rows, val = xs
-        pred = gather(rows, pred_i, pred_j)                 # (cs, A, 3)
+    def body(_, xs):
+        rows, val = xs
+        pred = gather(rows, pi, pj)                         # (cs, A, 3)
         w = gather(rows, w_i, w_j) / norm                   # (cs, A)
         w = w * val[:, None].astype(w.dtype)
         pp = el.pack_points(pred, la, dtype)                # (cs, 3, la, 128)
         wp = el.pack_scalars(w, la, dtype)                  # (cs, la, 128)
-        pb = jax.lax.dynamic_update_slice(pb, pp, (k * cs, 0, 0, 0))
-        wb = jax.lax.dynamic_update_slice(wb, wp, (k * cs, 0, 0))
-        return (pb, wb), None
+        return None, (pp, wp)
 
-    init = (jnp.zeros((e2, 3, la, 128), dtype),
-            jnp.zeros((e2, la, 128), dtype))
-    (pb, wb), _ = jax.lax.scan(
-        body, init, (jnp.arange(ncs, dtype=jnp.int32), perm2, valid2))
-    return pb, wb
+    _, (pb, wb) = jax.lax.scan(body, None, (perm2, valid2))
+    return (pb.reshape(e2, 3, la, 128), wb.reshape(e2, la, 128))
 
 
 def pack_scene(data: SceneData, cfg: SceneConfig,
@@ -439,6 +436,12 @@ def pack_scene(data: SceneData, cfg: SceneConfig,
             np.concatenate([idx_np, np.zeros(pad_e)]).astype(np.int32))
         extra = {}
     cs = 64 if meta.e2 % 64 == 0 else meta.eb      # e2 is a multiple of eb
+    # NOTE the pack's dominant cost is the scan-internal fp32 row gathers
+    # (~10 GB/s XLA gather rate; 0.87 s once per solve at n=300 — ~7% of
+    # a 300-iter solve). Pre-casting the sources to bf16 to halve gather
+    # bytes measured SLOWER (1.33 s): TPU gathers of 16-bit rows pay more
+    # in relayout than the bytes save, the same negative as the RAFT bf16
+    # corr pyramid (CLAUDE.md r3).
     pred_p, w_p = _pack_terms_streamed(
         data.pred_i, data.pred_j, data.weight_i, data.weight_j,
         jnp.asarray(perm, jnp.int32), jnp.asarray(valid),

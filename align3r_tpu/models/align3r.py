@@ -335,7 +335,8 @@ def stack_decoder_params(params: Params, dtype=jnp.bfloat16) -> Params:
 def apply_align3r(params: Params, view1: Dict[str, jnp.ndarray],
                   view2: Dict[str, jnp.ndarray], cfg: Align3RConfig,
                   dtype=jnp.bfloat16, attn_impl: str = "auto",
-                  remat: bool | str = False) -> Tuple[Dict, Dict]:
+                  remat: bool | str = False,
+                  head_dtype=jnp.float32) -> Tuple[Dict, Dict]:
     """Full two-view forward.
 
     view*: dicts with 'img' (B, H, W, 3) and 'pred_depth' (B, H, W, 3)
@@ -358,9 +359,13 @@ def apply_align3r(params: Params, view1: Dict[str, jnp.ndarray],
                                  pc_tokens, pc_pos, cfg, dtype, attn_impl, remat)
 
     grid = (H // cfg.patch_size, W // cfg.patch_size)
+    # head_dtype=fp32 is the reference AMP boundary (model.py:252-254);
+    # bf16 runs the conv pyramid at half the HBM traffic with the final
+    # regression conv + postprocess pinned fp32 (the engine's default) —
+    # a real lever on the BANDWIDTH-bound train step (r5 roofline)
     res1 = apply_dpt_head(params["head1"], hooks1, grid, (H, W),
-                          cfg.depth_mode, cfg.conf_mode)
+                          cfg.depth_mode, cfg.conf_mode, dtype=head_dtype)
     res2 = apply_dpt_head(params["head2"], hooks2, grid, (H, W),
-                          cfg.depth_mode, cfg.conf_mode)
+                          cfg.depth_mode, cfg.conf_mode, dtype=head_dtype)
     res2["pts3d_in_other_view"] = res2.pop("pts3d")
     return res1, res2

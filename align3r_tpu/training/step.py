@@ -135,29 +135,34 @@ def freeze_params(params) -> Dict[str, Any]:
 
 def loss_fn(params, batch, cfg: Align3RConfig, alpha: float = 0.2,
             dtype=jnp.bfloat16, remat: bool | str = True, attn_impl: str = "auto",
-            freeze: bool = True):
+            freeze: bool = True, head_dtype=jnp.float32):
     """batch: {'view1': {...gt+inputs...}, 'view2': {...}} with per-view keys
     img, pred_depth (inputs) and pts3d, camera_pose, valid_mask (targets).
     attn_impl="fused" routes the forward through the Pallas site kernels
     (custom-VJP: XLA-recompute backward) — TPU-only speedup. freeze=True
     applies the fine-tune freeze list inside the differentiated function
-    (see freeze_params)."""
+    (see freeze_params). head_dtype=fp32 keeps the reference AMP boundary
+    (heads out of autocast, training.py AMP + model.py:252-254); bf16 is
+    the bandwidth lever on the HBM-bound step (roofline: 86% of bw SOL) —
+    final regression conv + postprocess stay fp32 either way."""
     v1, v2 = batch["view1"], batch["view2"]
     if freeze:
         params = freeze_params(params)
     pred1, pred2 = apply_align3r(params, v1, v2, cfg, dtype=dtype,
-                                 attn_impl=attn_impl, remat=remat)
+                                 attn_impl=attn_impl, remat=remat,
+                                 head_dtype=head_dtype)
     loss, details = conf_regr3d_loss(v1, v2, pred1, pred2, alpha=alpha)
     return loss, details
 
 
 def make_train_step(tx, cfg: Align3RConfig, alpha: float = 0.2,
                     dtype=jnp.bfloat16, remat: bool | str = True,
-                    attn_impl: str = "auto", freeze: bool = True):
+                    attn_impl: str = "auto", freeze: bool = True,
+                    head_dtype=jnp.float32):
     def train_step(state: TrainState, batch) -> Tuple[TrainState, Dict]:
         (loss, details), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.params, batch, cfg, alpha, dtype, remat, attn_impl,
-            freeze)
+            freeze, head_dtype)
         updates, new_opt = tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
         metrics = dict(details, loss=loss,

@@ -50,6 +50,13 @@ class TrainArgs:
     #                                           the 'data' mesh axis (ZeRO-1)
     remat: str = "full"                       # 'none' | 'full' | 'dots'
     #                                           (models.align3r._ckpt)
+    head_bf16: bool = False                   # bf16 DPT conv pyramid in the
+    #                                           train forward (fp32 final
+    #                                           conv+postprocess); default
+    #                                           keeps the reference AMP
+    #                                           boundary. Bandwidth lever:
+    #                                           the step runs at 86% of the
+    #                                           HBM roofline (r5).
     profile: bool = False
     max_steps_per_epoch: Optional[int] = None  # for smoke tests
 
@@ -285,8 +292,11 @@ def train(args: TrainArgs):
         args.start_epoch = ck["epoch"] + 1
         best_so_far = ck.get("best_so_far")
         print(f"resumed from {last} at epoch {args.start_epoch}")
-    train_step = jax.jit(make_train_step(tx, cfg, alpha=args.alpha,
-                                         remat=args.remat),
+    import jax.numpy as _jnp
+    train_step = jax.jit(make_train_step(
+                             tx, cfg, alpha=args.alpha, remat=args.remat,
+                             head_dtype=(_jnp.bfloat16 if args.head_bf16
+                                         else _jnp.float32)),
                          in_shardings=(state_sh, dsh),
                          out_shardings=(state_sh, repl),
                          donate_argnums=(0,))

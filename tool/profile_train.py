@@ -37,6 +37,10 @@ def main():
                     help="keep frozen kernels in fp32 (default matches the "
                          "train driver: bf16 storage, bitwise-identical "
                          "forward, ~600 MB HBM back on ViT-L)")
+    ap.add_argument("--head-ab", action="store_true",
+                    help="add a bf16-DPT-heads row (conv pyramid bf16, "
+                         "final conv+postprocess fp32): the bandwidth "
+                         "lever on the HBM-bound step (r5 roofline)")
     ap.add_argument("--remat-ab", action="store_true",
                     help="add a remat='dots' row (save weight-matmul "
                          "outputs, recompute only elementwise/attention in "
@@ -100,6 +104,9 @@ def main():
     if args.remat_ab:
         rows.append(("auto + dots    ", dict(attn_impl="auto",
                                              remat="dots")))
+    if args.head_ab:
+        rows.append(("bf16 heads     ", dict(attn_impl="auto", remat=True,
+                                             head_dtype=jnp.bfloat16)))
     for label, kw in rows:
         step = make_train_step(tx, cfg, **kw)
         jstep = jax.jit(step, donate_argnums=(0,))
