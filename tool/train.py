@@ -38,6 +38,11 @@ def main():
     p.add_argument("--keep_freq", type=int, default=d.keep_freq)
     p.add_argument("--print_freq", type=int, default=d.print_freq)
     p.add_argument("--profile", action="store_true", default=False)
+    p.add_argument("--head_bf16", action="store_true", default=False,
+                   help="bf16 DPT conv pyramid in the train forward "
+                        "(fp32 final conv+postprocess): -20%% step time "
+                        "measured on v5e; default keeps the reference "
+                        "fp32-head AMP boundary")
     p.add_argument("--max_steps_per_epoch", type=int, default=None)
     args = p.parse_args()
     train(TrainArgs(**vars(args)))
