@@ -360,7 +360,9 @@ def inference(pairs: Sequence[Tuple[int, int]], params, cfg: Align3RConfig,
             import warnings
             for knob, val in (("attn_impl", explicit_attn),
                               ("encode_attn_impl", explicit_enc_attn)):
-                if val not in (None, "xla"):
+                # 'auto' delegates to the engine (XLA IS the auto choice
+                # here) — only warn on an explicit fused-kernel request
+                if val not in (None, "xla", "auto"):
                     warnings.warn(
                         f"{knob}={val!r} is ignored on a mesh with "
                         f"'model' axis {m} > 1: tensor parallelism runs "
@@ -399,9 +401,10 @@ def inference(pairs: Sequence[Tuple[int, int]], params, cfg: Align3RConfig,
     pc_tok = jnp.concatenate(pc_l, axis=0)
 
     # 3) decoder over pair batches. Full groups of SCAN_NB batches run as
-    # ONE scan dispatch (fixed scan length -> one compiled program for any
-    # edge count); the ragged tail reuses the single-batch program. This
-    # keeps dispatch count ~1/8th of a pure per-batch loop, which matters
+    # ONE scan dispatch (fixed scan length); a >1-batch ragged tail runs
+    # as one scan too (one cached compile per distinct tail length), and a
+    # single-batch tail reuses the single-batch program. This keeps
+    # dispatch count ~1/8th of a pure per-batch loop, which matters
     # because tunnel slow-dispatch phases otherwise leak host latency into
     # throughput (measured 130 -> 85 pairs/s with identical device code).
     SCAN_NB = 8

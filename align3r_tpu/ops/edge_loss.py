@@ -131,7 +131,8 @@ def choose_blocks(n: int, la0: int | None = None,
     if la0 is not None:
         rb = max(8, min(rb, -(-la0 // 8) * 8))
     while rb > 8 and not fits(8, rb, eb):       # degenerate tiny budgets
-        rb //= 2
+        # keep rb a multiple of 8: fp32 sublane tiles are 8-aligned
+        rb = max(8, rb // 2 // 8 * 8)
     nc = 128
     while nc > 8 and not fits(nc, rb, eb):
         nc //= 2

@@ -75,11 +75,19 @@ def test_bench_default_engine_config_parity(oracle):
     imgs = rng.standard_normal((n, H, W, 3)).astype(np.float32) * 0.5
     priors = rng.uniform(0, 1, (n, H, W, 3)).astype(np.float32)
     pairs = make_pairs(n, "complete", symmetrize=True)     # 6 edges
-    assert fs._DEFAULT_HEAD_GROUP == 4      # the shipped default (r4 A/B)
-    out = inference(pairs, params, CFG, jnp.asarray(imgs),
-                    jnp.asarray(priors), batch_size=32,
-                    dtype=jnp.float32, head_dtype=jnp.float32,
-                    attn_impl="fused", encode_attn_impl="fused", unroll=3)
+    # pin hg=4 explicitly (the shipped default) rather than asserting the
+    # module default, which the documented ALIGN3R_HEAD_GROUP env knob can
+    # legitimately override in A/B shells
+    old_hg = fs._DEFAULT_HEAD_GROUP
+    fs._DEFAULT_HEAD_GROUP = 4
+    try:
+        out = inference(pairs, params, CFG, jnp.asarray(imgs),
+                        jnp.asarray(priors), batch_size=32,
+                        dtype=jnp.float32, head_dtype=jnp.float32,
+                        attn_impl="fused", encode_attn_impl="fused",
+                        unroll=3)
+    finally:
+        fs._DEFAULT_HEAD_GROUP = old_hg
 
     t = lambda a: torch.from_numpy(a).permute(0, 3, 1, 2)
     for e, (i, j) in enumerate(pairs):

@@ -32,14 +32,18 @@ def test_force_cpu_devices_sets_collective_timeouts():
     assert "ok" in r.stdout
 
 
-def test_host_lock_blocks_then_yields():
+def test_host_lock_blocks_then_yields(tmp_path, monkeypatch):
     """_HostLock waits on the watcher's flock and proceeds once released
-    (bounded wait; a held lock must not deadlock the driver)."""
+    (bounded wait; a held lock must not deadlock the driver). Runs on a
+    private lock file: taking the REAL /tmp/align3r_host.lock here would
+    hang the suite for hours whenever the detached measurement watcher
+    holds it (and fail the uncontended-acquire assert)."""
     import fcntl
     import threading
     import time
     import __graft_entry__ as g
 
+    monkeypatch.setattr(g._HostLock, "PATH", str(tmp_path / "host.lock"))
     holder = open(g._HostLock.PATH, "w")
     fcntl.flock(holder, fcntl.LOCK_EX)
     t_release = threading.Timer(2.0, lambda: (

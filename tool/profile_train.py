@@ -207,7 +207,9 @@ def _split(args, cfg, state, batch, full_dt):
             acc = v if acc is None else acc + v
         np.asarray(acc)
         out.setdefault(n, []).append((time.perf_counter() - t0) / args.reps)
-    for n in names:                       # second pass, reversed drift
+    for n in reversed(names):             # second pass, REVERSED order —
+        # same-order passes would pair an early-window fwd with a
+        # later-window bwd under monotonic tunnel drift
         t0 = time.perf_counter()
         acc = None
         for _ in range(args.reps):
