@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import os
 import warnings
 from typing import Dict, Optional, Tuple
 
@@ -410,8 +411,63 @@ def _pack_terms_streamed(pred_i, pred_j, w_i, w_j, perm, valid,
     return (pb.reshape(e2, 3, la, 128), wb.reshape(e2, la, 128))
 
 
+@functools.partial(jax.jit, static_argnames=("e2", "la", "dtype", "cs",
+                                             "interpret"))
+def _pack_terms_fast(pred_i, pred_j, w_i, w_j, perm, valid,
+                     e2: int, la: int, dtype, cs: int, interpret: bool):
+    """Gather-free pack: lane-pack each per-edge buffer in its NATURAL row
+    order (a pure streaming transpose XLA runs near HBM rate), then
+    assemble the packed term order with the Pallas row-permute kernel
+    (ops/edge_loss.py permute_packed — scalar-prefetched block index maps,
+    pure DMA).
+
+    The streamed gather pack (`_pack_terms_streamed`) fuses the
+    data-dependent row gather INTO the lane-pack transpose, which XLA
+    lowers to elementwise gathers at ~6-10 GB/s — 0.87 s once per solve at
+    the n=300 bench scale, over half the end-to-end time of a 60-iter
+    chunked solve. Splitting the layout transform (contiguous, fused,
+    bandwidth-rate) from the reorder (block DMAs in a kernel) removes the
+    gather entirely. Output is bit-identical to the streamed pack
+    (valid-row contents AND dummy-slot convention: points of term 0,
+    weight exactly 0)."""
+    from align3r_tpu.ops import edge_loss as el
+    E, A, _ = pred_i.shape
+    norm = float(E * A)
+    ep = -(-E // cs) * cs
+
+    def natural(src_p, src_w):
+        sp = jnp.pad(src_p, [(0, ep - E), (0, 0), (0, 0)])
+        sw = jnp.pad(src_w, [(0, ep - E), (0, 0)])
+
+        def body(_, xs):
+            p, w = xs
+            return None, (el.pack_points(p, la, dtype),
+                          el.pack_scalars(w / norm, la, dtype))
+
+        _, (pb, wb) = jax.lax.scan(
+            body, None,
+            (sp.reshape(ep // cs, cs, A, 3), sw.reshape(ep // cs, cs, A)))
+        return pb.reshape(ep, 3, la, 128), wb.reshape(ep, la, 128)
+
+    pi, wi = natural(pred_i, w_i)
+    pj, wj = natural(pred_j, w_j)
+    return el.permute_packed(pi, pj, wi, wj, perm, valid, e2=e2,
+                             e_split=E, interpret=interpret)
+
+
+_PACK_IMPL_DEFAULT = "fast"
+
+
+def _resolve_pack_impl(impl: str | None) -> str:
+    if impl in (None, "auto"):
+        impl = os.environ.get("ALIGN3R_PACK_IMPL", _PACK_IMPL_DEFAULT)
+    if impl not in ("fast", "streamed"):
+        raise ValueError(f"pack impl {impl!r} (want 'fast'|'streamed')")
+    return impl
+
+
 def pack_scene(data: SceneData, cfg: SceneConfig,
-               dtype=jnp.bfloat16) -> SceneData:
+               dtype=jnp.bfloat16, impl: str = "auto") -> SceneData:
     """One-time packing of the frozen observations into the fused kernel's
     lane layout (done before the solve; ~1 pass over the data, streamed in
     chunks so no full-scene fp32 transient is ever materialised). For
@@ -436,16 +492,26 @@ def pack_scene(data: SceneData, cfg: SceneConfig,
             np.concatenate([idx_np, np.zeros(pad_e)]).astype(np.int32))
         extra = {}
     cs = 64 if meta.e2 % 64 == 0 else meta.eb      # e2 is a multiple of eb
-    # NOTE the pack's dominant cost is the scan-internal fp32 row gathers
-    # (~10 GB/s XLA gather rate; 0.87 s once per solve at n=300 — ~7% of
-    # a 300-iter solve). Pre-casting the sources to bf16 to halve gather
-    # bytes measured SLOWER (1.33 s): TPU gathers of 16-bit rows pay more
-    # in relayout than the bytes save, the same negative as the RAFT bf16
-    # corr pyramid (CLAUDE.md r3).
-    pred_p, w_p = _pack_terms_streamed(
-        data.pred_i, data.pred_j, data.weight_i, data.weight_j,
-        jnp.asarray(perm, jnp.int32), jnp.asarray(valid),
-        e2=meta.e2, la=meta.la, dtype=jnp.dtype(dtype).name, cs=cs)
+    if _resolve_pack_impl(impl) == "fast":
+        # gather-free: natural-order lane pack + Pallas row permute (see
+        # _pack_terms_fast; bit-identical to the streamed pack)
+        pred_p, w_p = _pack_terms_fast(
+            data.pred_i, data.pred_j, data.weight_i, data.weight_j,
+            jnp.asarray(perm, jnp.int32), jnp.asarray(valid, jnp.int32),
+            e2=meta.e2, la=meta.la, dtype=jnp.dtype(dtype).name, cs=cs,
+            interpret=meta.interpret)
+    else:
+        # legacy gather pack: dominant cost is the scan-internal fp32 row
+        # gathers FUSED with the lane-pack transpose (~6-10 GB/s XLA
+        # elementwise-gather rate; 0.87 s once per solve at n=300).
+        # Pre-casting the sources to bf16 to halve gather bytes measured
+        # SLOWER (1.33 s): TPU gathers of 16-bit rows pay more in relayout
+        # than the bytes save, the same negative as the RAFT bf16 corr
+        # pyramid (CLAUDE.md r3).
+        pred_p, w_p = _pack_terms_streamed(
+            data.pred_i, data.pred_j, data.weight_i, data.weight_j,
+            jnp.asarray(perm, jnp.int32), jnp.asarray(valid),
+            e2=meta.e2, la=meta.la, dtype=jnp.dtype(dtype).name, cs=cs)
     return dataclasses.replace(data, packed_pred=pred_p, packed_w=w_p,
                                packed_idx=packed_idx,
                                packed_perm=jnp.asarray(perm, jnp.int32),

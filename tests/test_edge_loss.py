@@ -77,18 +77,21 @@ def test_packed_pts3d_matches_pack_of_depth_to_pts3d():
                                    rtol=2e-6, atol=2e-6)
 
 
-def test_pack_scene_streamed_matches_dense_oracle():
-    """pack_scene streams cs-term chunks into a scan-carried buffer (no
-    full-scene fp32 transient — the r4 one-shot pack OOMed 16 GB HBM at
-    n=300 bench scale). The streamed layout must equal the dense oracle
+@pytest.mark.parametrize("impl", ["streamed", "fast"])
+def test_pack_scene_impls_match_dense_oracle(impl):
+    """Both pack implementations must equal the dense oracle
     (concat -> pack -> perm-gather -> valid-mask) bit-for-bit, for both the
-    single-chunk and the image-chunked kernel."""
+    single-chunk and the image-chunked kernel. 'streamed' scans gather
+    chunks (no full-scene fp32 transient — the r4 one-shot pack OOMed
+    16 GB HBM at n=300 bench scale); 'fast' (the default) lane-packs in
+    natural order and reorders with the Pallas row-permute kernel
+    (gather-free; the streamed gathers ran at ~6-10 GB/s on TPU)."""
     from align3r_tpu.alignment.scene import _edge_meta
     for n, graph in ((4, "complete"), (300, "swin-1")):
         cfg, data, params = _synthetic_scene(n=n, H=8, W=16, graph=graph)
         meta = _edge_meta(cfg)
         assert (meta.nc > 0) == (n == 300), meta
-        got = pack_scene(data, cfg, dtype=jnp.float32)
+        got = pack_scene(data, cfg, dtype=jnp.float32, impl=impl)
         E, A = data.ei.shape[0], data.grid.shape[0]
         pred = jnp.concatenate([data.pred_i, data.pred_j], axis=0)
         w = jnp.concatenate([data.weight_i, data.weight_j], axis=0) / (E * A)
@@ -120,6 +123,34 @@ def test_pack_scene_streamed_matches_dense_oracle():
         gw = np.asarray(got.packed_w)
         np.testing.assert_array_equal(gw == 0, exp_w == 0)
         np.testing.assert_allclose(gw, exp_w, rtol=3e-7, atol=0)
+
+
+def test_fast_pack_bit_identical_to_streamed():
+    """The gather-free pack must be BIT-identical to the streamed pack —
+    including the dummy-slot convention (term-0 points, exactly-zero
+    weight) — at both kernel scales and in both storage dtypes, so
+    flipping the default can never move a solve trajectory."""
+    for n, graph in ((4, "complete"), (300, "swin-1")):
+        cfg, data, params = _synthetic_scene(n=n, H=8, W=16, graph=graph)
+        for dt in (jnp.float32, jnp.bfloat16):
+            a = pack_scene(data, cfg, dtype=dt, impl="streamed")
+            b = pack_scene(data, cfg, dtype=dt, impl="fast")
+            np.testing.assert_array_equal(np.asarray(a.packed_pred),
+                                          np.asarray(b.packed_pred))
+            np.testing.assert_array_equal(np.asarray(a.packed_w),
+                                          np.asarray(b.packed_w))
+            np.testing.assert_array_equal(np.asarray(a.packed_idx),
+                                          np.asarray(b.packed_idx))
+            np.testing.assert_array_equal(np.asarray(a.packed_perm),
+                                          np.asarray(b.packed_perm))
+
+
+def test_pack_impl_resolution():
+    from align3r_tpu.alignment.scene import _resolve_pack_impl
+    assert _resolve_pack_impl("auto") in ("fast", "streamed")
+    assert _resolve_pack_impl("streamed") == "streamed"
+    with pytest.raises(ValueError):
+        _resolve_pack_impl("bogus")
 
 
 def test_fused_loss_and_grads_match_fp32():

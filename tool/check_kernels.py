@@ -27,7 +27,7 @@ def main():
                          "gate the whole measurement batch.")
     args = ap.parse_args()
     only = set(args.only.split(",")) if args.only else None
-    if only is not None and (bad := only - {"core", "chunked_edge"}):
+    if only is not None and (bad := only - {"core", "chunked_edge", "pack"}):
         ap.error(f"unknown --only section(s) {sorted(bad)} — a typo here "
                  "would run ZERO checks and print ALL OK")
 
@@ -179,6 +179,41 @@ def main():
         check("edge_loss chunked grad(im_poses)", gv["im_poses"],
               g_ref["im_poses"],
               1e-4 * max(1.0, float(np.abs(np.asarray(g_ref["im_poses"])).max())))
+
+    if want("pack"):
+        # 7) Pallas row-permute pack (gather-free pack_scene default): the
+        # Mosaic risks are the jnp.minimum/clip scalar-prefetch index maps
+        # and the scalar-select between two prefetched blocks. Must be
+        # BIT-identical to the streamed gather pack on device.
+        from align3r_tpu.inference.pairs import make_pairs
+        from align3r_tpu.alignment.scene import build_scene, pack_scene
+        for n, graph, He, We in ((12, "swin-3", 36, 64), (300, "swin-1", 24, 32)):
+            pairs = make_pairs(n, graph, symmetrize=True)
+            E = len(pairs)
+            kp = jax.random.fold_in(key, 1234 + n)
+            out = {"view1": {"idx": np.array([p[0] for p in pairs])},
+                   "view2": {"idx": np.array([p[1] for p in pairs])},
+                   "pred1": {"pts3d": jax.random.normal(kp, (E, He, We, 3)),
+                             "conf": 1 + jax.random.uniform(kp, (E, He, We))},
+                   "pred2": {"pts3d_in_other_view":
+                             jax.random.normal(jax.random.fold_in(kp, 1),
+                                               (E, He, We, 3)),
+                             "conf": 1 + jax.random.uniform(kp, (E, He, We))}}
+            cfg, data, params = build_scene(out, {})
+            for dt in (jnp.bfloat16, jnp.float32):
+                t0 = time.perf_counter()
+                b = pack_scene(data, cfg, dtype=dt, impl="fast")
+                np.asarray(jnp.sum(b.packed_w.astype(jnp.float32)))
+                dtn = jnp.dtype(dt).name
+                print(f"pack fast n={n} {dtn} compiled+ran in "
+                      f"{time.perf_counter()-t0:.1f}s")
+                a = pack_scene(data, cfg, dtype=dt, impl="streamed")
+                pa, pb = np.asarray(a.packed_pred), np.asarray(b.packed_pred)
+                wa, wb = np.asarray(a.packed_w), np.asarray(b.packed_w)
+                bit = np.array_equal(pa, pb) and np.array_equal(wa, wb)
+                ok &= bit
+                print(f"{f'pack fast==streamed n={n} {dtn}':34s} "
+                      f"{'OK' if bit else 'FAIL'}")
 
     print("ALL OK" if ok else "FAILURES PRESENT")
     sys.exit(0 if ok else 1)

@@ -148,6 +148,10 @@ def main():
     ap.add_argument("--hw", type=int, nargs=2, default=(288, 512))
     ap.add_argument("--breakdown", action="store_true",
                     help="per-stage attribution of the fused step")
+    ap.add_argument("--pack-only", action="store_true",
+                    help="time the one-time pack_scene per impl "
+                         "(streamed gather vs fast permute-kernel) and "
+                         "per storage dtype")
     ap.add_argument("--impls", default=None,
                     help="comma list of variants to run (names with spaces "
                          "as dashes, e.g. xla-bf16,kernel-mixed); default "
@@ -181,6 +185,30 @@ def main():
     cfg, data, params = build_scene(output)
     masks = default_masks(cfg, params)
     print(f"# frames={n} edges={E} A={H*W}")
+
+    if args.pack_only:
+        # one-time pack cost: at n=300 the streamed gather pack measured
+        # 0.87 s (fp32 sources; ~6-10 GB/s XLA elementwise-gather rate) —
+        # over half the end-to-end time of a 60-iter chunked solve
+        from align3r_tpu.alignment.scene import pack_scene
+        for impl in ("streamed", "fast"):
+            for dt in (jnp.bfloat16, jnp.float32):
+                run = lambda: pack_scene(data, cfg, dtype=dt, impl=impl)
+                d = run()
+                # force completion without a full host pull (axon
+                # block_until_ready returns early)
+                np.asarray(d.packed_w[0, 0, :1])
+                reps = 3
+                t0 = time.perf_counter()
+                for _ in range(reps):
+                    d = run()
+                    np.asarray(d.packed_w[0, 0, :1])
+                dt_s = (time.perf_counter() - t0) / reps
+                gb = (d.packed_pred.nbytes + d.packed_w.nbytes) / 2**30
+                print(f"pack {impl:8s} {jnp.dtype(dt).name:8s} "
+                      f"{dt_s*1e3:8.1f} ms  ({gb:.2f} GiB packed, "
+                      f"{gb/dt_s:.1f} GiB/s written)")
+        return
 
     if args.breakdown:
         _breakdown(cfg, data, params, masks, args.niter)
