@@ -61,11 +61,16 @@ def main():
 
     # head_group sweep at the winning-shape config (the knob is a module
     # default, not an inference() arg): (bs, attn, hd, sh, hci, unroll, hg)
+    # hg=6/12 divide the decoder's 12 heads but not the encoder's 16, so
+    # the encoder falls back per-site (env-default path) — the rows isolate
+    # whether grouping decode heads past 4 still pays.
     from align3r_tpu.ops import fused_site as fs
     grid = [g + (1,) for g in grid] + [
         (16, "fused", jnp.bfloat16, False, "xla", 3, 2),
         (16, "fused", jnp.bfloat16, False, "xla", 3, 4),
-        (32, "fused", jnp.bfloat16, False, "xla", 3, 4)]
+        (32, "fused", jnp.bfloat16, False, "xla", 3, 4),
+        (32, "fused", jnp.bfloat16, False, "xla", 3, 6),
+        (32, "fused", jnp.bfloat16, False, "xla", 3, 12)]
 
     results = []
     for bs, attn, hd, sh, hci, unroll, hg in grid:
